@@ -1,0 +1,313 @@
+"""Renderer API: ``GaussianRenderer`` / ``GaussianRenderSettings`` /
+``Fragments`` and compositing helpers.
+
+Same surface as the reference ``VoGE/Renderer.py`` so downstream code ports
+with import changes only; internally a pure functional pipeline
+(:func:`render_pipeline`) that is jit-compiled once per static configuration
+and reused across calls.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from voge_tpu.aggregation import aggregation, expend_sigma, merge_final
+from voge_tpu.cameras import PerspectiveCameras
+from voge_tpu.ops.fine import ray_tracing
+from voge_tpu.rays import camera_rays
+
+
+@jax.tree_util.register_pytree_node_class
+class Fragments:
+    """Per-pixel render result (registered pytree).
+
+    - ``vert_weight`` (B, H, W, M) float: occlusion-aware contribution
+    - ``vert_index``  (B, H, W, M) int32: flattened kernel index (-1 invalid)
+    - ``valid_num``   (B, H, W) int: number of valid slots
+    - ``vert_hit_length`` (B, H, W, M) float: ray parameter of density peak
+
+    Mirrors reference ``Renderer.py:13-50``.
+    """
+
+    def __init__(self, vert_weight, vert_index, valid_num, vert_hit_length):
+        self.vert_weight = vert_weight
+        self.vert_index = vert_index
+        self.valid_num = valid_num
+        self.vert_hit_length = vert_hit_length
+
+    def __getitem__(self, item):
+        assert self.valid_num.ndim == 3, "Index access is only available when batched."
+        return Fragments(
+            vert_weight=self.vert_weight[item],
+            vert_index=self.vert_index[item],
+            valid_num=self.valid_num[item],
+            vert_hit_length=self.vert_hit_length[item],
+        )
+
+    def __len__(self):
+        return self.valid_num.shape[0]
+
+    @property
+    def shape(self):
+        return (
+            self.vert_weight.shape,
+            self.vert_index.shape,
+            self.valid_num.shape,
+            self.vert_hit_length.shape,
+        )
+
+    def squeeze(self):
+        assert self.valid_num.shape[0] == 1
+        return self[0]
+
+    def unsqueeze(self):
+        assert self.valid_num.ndim == 2
+        return Fragments(
+            vert_weight=self.vert_weight[None],
+            vert_index=self.vert_index[None],
+            valid_num=self.valid_num[None],
+            vert_hit_length=self.vert_hit_length[None],
+        )
+
+    def to_dict(self):
+        return dict(
+            vert_weight=self.vert_weight,
+            vert_index=self.vert_index,
+            valid_num=self.valid_num,
+            vert_hit_length=self.vert_hit_length,
+        )
+
+    def copy(self):
+        return Fragments(**self.to_dict())
+
+    # pytree protocol
+    def tree_flatten(self):
+        return (
+            (self.vert_weight, self.vert_index, self.valid_num, self.vert_hit_length),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+class GaussianRenderSettings:
+    """Render configuration (reference ``Renderer.py:53-84``).
+
+    Unknown keyword arguments are accepted and ignored for compatibility with
+    reference demo scripts (which pass e.g. ``batch_size=-1``).
+    """
+
+    __slots__ = [
+        "image_size",
+        "max_assign",
+        "thr_activation",
+        "absorptivity",
+        "inverse_sigma",
+        "principal",
+        "max_point_per_bin",
+        "bin_size",
+    ]
+
+    def __init__(
+        self,
+        image_size: Union[int, Tuple[int, int]] = 256,
+        max_assign: int = 20,
+        thr_activation: float = 0.01,
+        absorptivity: float = 1,
+        inverse_sigma: bool = False,
+        principal: Union[None, Tuple[int, int], Tuple[float, float]] = None,
+        max_point_per_bin: Union[None, int] = None,
+        bin_size: Union[None, int] = None,
+        **kwargs,
+    ):
+        if isinstance(image_size, int):
+            image_size = (image_size, image_size)
+        self.image_size = tuple(int(v) for v in image_size)
+        self.max_assign = int(max_assign)
+        self.thr_activation = float(thr_activation)
+        self.absorptivity = float(absorptivity)
+        self.inverse_sigma = bool(inverse_sigma)
+        self.principal = principal
+        self.max_point_per_bin = max_point_per_bin
+        self.bin_size = bin_size
+
+    def __getitem__(self, item):
+        return getattr(self, item)
+
+
+# ---------------------------------------------------------------------------
+# functional pipeline
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "image_size", "max_assign", "thr_activation", "absorptivity",
+        "inverse_sigma", "bin_size", "max_point_per_bin",
+    ),
+)
+def render_pipeline(
+    verts: jax.Array,      # (B, N, 3) or (N, 3) world-space means
+    sigmas: jax.Array,     # (N,), (N,3) or (N,3,3) (or batched (B,...))
+    R: jax.Array, T: jax.Array, focal: jax.Array, principal: jax.Array,
+    *,
+    image_size: Tuple[int, int],
+    max_assign: int = 20,
+    thr_activation: float = 0.01,
+    absorptivity: float = 1.0,
+    inverse_sigma: bool = False,
+    bin_size: Optional[int] = None,
+    max_point_per_bin: Optional[int] = None,
+) -> Fragments:
+    """Pure functional forward render (the body of reference
+    ``Renderer.py:102-150``): generate rays, center verts on the camera,
+    scale/invert sigmas, run coarse+fine ray tracing, composite weights."""
+    sigmas = expend_sigma(sigmas)
+    if verts.ndim == 2:
+        verts = verts[None]
+    B = R.shape[0]
+    if verts.shape[0] == 1 and B > 1:
+        verts = jnp.broadcast_to(verts, (B,) + verts.shape[1:])
+
+    rays, ray_origins = camera_rays(R, T, focal, principal, image_size)
+
+    verts_transformed = verts - ray_origins[:, None, :]
+    if sigmas.ndim == 3:
+        sigmas = jnp.broadcast_to(sigmas[None], (verts_transformed.shape[0],) + sigmas.shape)
+
+    if inverse_sigma:
+        isigma = 2.0 * jnp.linalg.inv(sigmas)
+    else:
+        isigma = 2.0 * sigmas
+
+    sel_idx, sel_len, sel_act, sel_dsd = ray_tracing(
+        (R, T, focal, principal), verts_transformed, isigma, rays,
+        image_size, thr=thr_activation, n_assign=max_assign,
+        bin_size=bin_size, max_points_per_bin=max_point_per_bin,
+    )
+
+    # O(K^2) erf compositing: rematerialized in backward to avoid storing
+    # the [pixels, K, K] cross matrix.
+    agg = jax.checkpoint(
+        lambda a, l, d: aggregation(
+            sel_idx=sel_idx, sel_act=a, sel_len=l, sel_dsd=d,
+            occupation_weight=absorptivity,
+        )[0]
+    )
+    vert_weight = agg(sel_act, sel_len, sel_dsd)
+    valid_num = jnp.sum(sel_idx >= 0, axis=-1)
+
+    return Fragments(
+        vert_weight=vert_weight,
+        vert_index=sel_idx,
+        valid_num=valid_num,
+        vert_hit_length=sel_len,
+    )
+
+
+class GaussianRenderer:
+    """Stateful convenience wrapper (reference ``Renderer.py:87-150``).
+
+    Holds a camera batch and settings; per-call kwargs ``R``, ``T``,
+    ``focal``, ``principal`` update the cameras (reference
+    ``Renderer.py:104-109``).  The functional core is jitted; repeated calls
+    with the same static configuration reuse the compiled executable.
+    """
+
+    to_set_args = ["R", "T", "focal", "principal"]
+
+    def __init__(self, cameras: PerspectiveCameras, render_settings):
+        if isinstance(render_settings, dict):
+            render_settings = GaussianRenderSettings(**render_settings)
+        self.cameras = cameras
+        self.render_settings = render_settings
+
+    def to(self, device=None):
+        return self
+
+    @property
+    def device(self):
+        return None
+
+    def forward(self, gmeshes, **kwargs) -> Fragments:
+        assert not self.cameras.in_ndc(), (
+            "Got NDC camera. Cameras.in_ndc must be set to false."
+        )
+        for k_arg in kwargs:
+            if k_arg in self.to_set_args:
+                setattr(self.cameras, k_arg, jnp.asarray(kwargs[k_arg]))
+
+        verts, sigmas, _radians = gmeshes()
+        s = self.render_settings
+        B = max(self.cameras.R.shape[0], 1 if verts.ndim == 2 else verts.shape[0])
+        R, T, focal, principal = self.cameras.batched_params(B)
+        return render_pipeline(
+            verts, sigmas, R, T, focal, principal,
+            image_size=tuple(s.image_size),
+            max_assign=s.max_assign,
+            thr_activation=s.thr_activation,
+            absorptivity=s.absorptivity,
+            inverse_sigma=s.inverse_sigma,
+            bin_size=s.bin_size,
+            max_point_per_bin=s.max_point_per_bin,
+        )
+
+    __call__ = forward
+
+
+# ---------------------------------------------------------------------------
+# compositing helpers (reference ``Renderer.py:153-176``)
+# ---------------------------------------------------------------------------
+
+def interpolate_attr(fragments: Fragments, vert_attr: jax.Array) -> jax.Array:
+    """Composite per-kernel attributes into an attribute map.
+
+    ``fragments.vert_index`` stores *flattened* (b * N + n) indices; when the
+    camera batch is > 1 and ``vert_attr`` has only N rows it is tiled over the
+    batch (the reference requires callers to do this themselves)."""
+    n_needed = int(fragments.vert_index.shape[0])
+    idx = fragments.vert_index
+    if (
+        fragments.valid_num.ndim == 3
+        and n_needed > 1
+        and vert_attr.ndim == 2
+    ):
+        vert_attr = jnp.tile(vert_attr, (n_needed, 1))
+    return merge_final(
+        vert_attr=vert_attr,
+        weight=fragments.vert_weight,
+        valid_num=fragments.valid_num,
+        vert_assign=idx,
+    )
+
+
+def get_silhouette(fragments: Fragments) -> jax.Array:
+    merged_weight = fragments.vert_weight.sum(-1)
+    return jnp.minimum(merged_weight, jnp.ones_like(merged_weight))
+
+
+def to_colored_background(
+    fragments: Fragments, colors: jax.Array,
+    background_color=(1.0, 1.0, 1.0), thr: float = -1,
+) -> jax.Array:
+    masks = get_silhouette(fragments)[..., None]
+    background_color = jnp.asarray(background_color, dtype=colors.dtype)
+    if thr > 0:
+        masks = (masks > thr).astype(masks.dtype)
+    rgb = interpolate_attr(fragments, colors)
+    return jnp.minimum(
+        rgb + jnp.ones_like(rgb) * (1 - masks) * background_color,
+        jnp.ones_like(rgb),
+    )
+
+
+def to_white_background(fragments: Fragments, colors: jax.Array, thr: float = -1):
+    return to_colored_background(
+        fragments=fragments, colors=colors, background_color=(1.0, 1.0, 1.0),
+        thr=thr,
+    )

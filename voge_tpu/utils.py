@@ -1,0 +1,118 @@
+"""Index/gather utilities and small math helpers.
+
+jnp re-implementations of the helpers in the reference ``VoGE/Utils.py``
+(`Utils.py:9-56` eye_like / ind_sel / ind_fill, `Utils.py:336-359`
+rotation_theta).  ``ind_sel`` / ``ind_fill`` are broadcast-aware
+gather/scatter along one axis, used by the aggregation layer.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def eye_like(tensor: jax.Array) -> jax.Array:
+    """Identity matrices broadcast to ``tensor``'s batch shape.
+
+    Mirrors reference ``Utils.py:9``.
+    """
+    n = tensor.shape[-1]
+    eye = jnp.eye(n, dtype=tensor.dtype)
+    return jnp.broadcast_to(eye, tensor.shape[:-2] + (n, n))
+
+
+def _pad_index(target_shape, ind: jax.Array, dim: int) -> jax.Array:
+    """Expand ``ind`` with trailing singleton dims to match ``target_shape``
+    beyond ``dim`` (the semantics of torch.gather with expanded index)."""
+    ind_pad = ind
+    extra = len(target_shape) - (dim + 1)
+    for _ in range(extra):
+        ind_pad = ind_pad[..., None]
+    ind_pad = jnp.broadcast_to(
+        ind_pad, ind.shape[: dim + 1] + tuple(target_shape[dim + 1 :])
+    )
+    return ind_pad
+
+
+def ind_sel(target: jax.Array, ind: jax.Array, dim: int = 1) -> jax.Array:
+    """Broadcast-aware gather along ``dim``.
+
+    :param target: ``[... (can be k or 1), n > M, ...]``
+    :param ind: ``[... (k), M]`` integer index
+    :return: ``[... (k), M, ...]``
+
+    Matches reference ``Utils.py:13-31`` (torch.gather semantics).
+    """
+    assert len(ind.shape) > dim, (
+        "Index must have the target dim, but get dim: %d, ind shape: %s"
+        % (dim, str(ind.shape))
+    )
+    # Broadcast leading dims of target that are 1 to match ind.
+    tgt_shape = tuple(
+        ind.shape[k] if target.shape[k] == 1 else target.shape[k] for k in range(dim)
+    ) + tuple(target.shape[dim:])
+    target = jnp.broadcast_to(target, tgt_shape)
+    ind_pad = _pad_index(target.shape, ind, dim)
+    return jnp.take_along_axis(target, ind_pad, axis=dim)
+
+
+def ind_fill(target: jax.Array, ind: jax.Array, src, dim: int = 1) -> jax.Array:
+    """Broadcast-aware scatter along ``dim`` (torch.scatter semantics:
+    overwrite, last index wins).
+
+    Matches reference ``Utils.py:34-56``.
+    """
+    assert len(ind.shape) > dim
+    tgt_shape = tuple(
+        ind.shape[k] if target.shape[k] == 1 else target.shape[k] for k in range(dim)
+    ) + tuple(target.shape[dim:])
+    target = jnp.broadcast_to(target, tgt_shape)
+    ind_pad = _pad_index(target.shape, ind, dim)
+    if not isinstance(src, jax.Array) and not isinstance(src, np.ndarray):
+        src = jnp.full(ind_pad.shape, src, dtype=target.dtype)
+    else:
+        src = jnp.broadcast_to(src, ind_pad.shape)
+    # jnp put_along_axis with mode drop would be simplest; emulate scatter.
+    return _put_along_axis(target, ind_pad, src.astype(target.dtype), dim)
+
+
+def _put_along_axis(target, ind, src, dim):
+    """take_along_axis-style scatter (set, not add)."""
+    # Build full index grid.
+    idx = []
+    for ax in range(target.ndim):
+        if ax == dim:
+            idx.append(ind)
+        else:
+            shape = [1] * target.ndim
+            shape[ax] = target.shape[ax]
+            idx.append(
+                jnp.broadcast_to(
+                    jnp.arange(target.shape[ax]).reshape(shape), ind.shape
+                )
+            )
+    return target.at[tuple(idx)].set(src)
+
+
+def inverse_cumsum(x: jax.Array, dim: int) -> jax.Array:
+    """x + sum(x) - cumsum(x) along ``dim`` (reference ``Aggregation.py:7``)."""
+    return x + jnp.sum(x, axis=dim, keepdims=True) - jnp.cumsum(x, axis=dim)
+
+
+def rotation_theta(theta, dtype=jnp.float32) -> jax.Array:
+    """Batched in-plane (z-axis) rotation matrices from angles.
+
+    Mirrors reference ``Utils.py:336-359`` (used for PASCAL pose theta).
+
+    :param theta: float or array of shape ``(n,)`` / ``(n,1,1)``
+    :return: ``(n, 3, 3)``
+    """
+    theta = jnp.asarray(theta, dtype=dtype).reshape(-1)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    zeros = jnp.zeros_like(cos)
+    ones = jnp.ones_like(cos)
+    rows = jnp.stack(
+        [cos, -sin, zeros, sin, cos, zeros, zeros, zeros, ones], axis=-1
+    )
+    return rows.reshape(-1, 3, 3)
