@@ -1,0 +1,298 @@
+"""Core ray-tracing op tests: dense oracle, fine/coarse consistency, and the
+analytic custom VJP against jax.grad of the dense formulation."""
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from voge_tpu.ops import dense, fine, coarse
+from voge_tpu.cameras import look_at_view_transform
+from voge_tpu.rays import camera_rays
+
+
+def _scene(rng, P=30, seed_spread=1.0):
+    mus = rng.uniform(-1, 1, size=(P, 3)).astype(np.float32) * seed_spread
+    # random SPD inverse covariances
+    a = rng.uniform(-1, 1, size=(P, 3, 3)).astype(np.float32)
+    isig = np.einsum("pij,pkj->pik", a, a) + 2.0 * np.eye(3, dtype=np.float32)
+    return jnp.asarray(mus), jnp.asarray(isig)
+
+
+def _camera(B=1):
+    R, T = look_at_view_transform(
+        dist=[4.0] * B, elev=list(10.0 + 5 * np.arange(B)),
+        azim=list(30.0 + 20 * np.arange(B)),
+    )
+    focal = jnp.broadcast_to(jnp.asarray([[50.0, 50.0]]), (B, 2))
+    principal = jnp.broadcast_to(jnp.asarray([[16.0, 16.0]]), (B, 2))
+    return R, T, focal, principal
+
+
+def test_dense_hit_values_match_manual(rng):
+    mus, isig = _scene(rng, P=5)
+    rays = rng.normal(size=(7, 3)).astype(np.float32)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    rays = jnp.asarray(rays)
+    hl, ha, hd = dense.ray_trace_voge_ray(mus, isig, rays)
+    for n in range(7):
+        for p in range(5):
+            r = np.asarray(rays[n])
+            m = np.asarray(mus[p])
+            L = np.asarray(isig[p])
+            ksk = r @ L @ r
+            msk = m @ L @ r
+            msm = m @ L @ m
+            assert abs(float(hl[n, p]) - msk / ksk) < 1e-4
+            assert abs(float(ha[n, p]) - (msm - msk**2 / ksk)) < 1e-3
+            assert abs(float(hd[n, p]) - ksk) < 1e-4
+
+
+def test_find_nearest_k_semantics(rng):
+    hl = jnp.asarray(rng.uniform(0, 10, size=(4, 12)).astype(np.float32))
+    ha = jnp.asarray(rng.uniform(0, 8, size=(4, 12)).astype(np.float32))
+    hd = jnp.asarray(rng.uniform(0.1, 2, size=(4, 12)).astype(np.float32))
+    K, thr = 5, 0.05
+    thr_act = -math.log(thr + 1e-8)
+    idx, sl, sa, sd = dense.find_nearest_k(hl, ha, hd, K, thr)
+    idx, sl, sa, sd = map(np.asarray, (idx, sl, sa, sd))
+    for n in range(4):
+        ok = np.asarray(ha[n]) < thr_act
+        cand = np.where(ok)[0]
+        order = cand[np.argsort(np.asarray(hl[n])[cand], kind="stable")][:K]
+        k_valid = len(order)
+        np.testing.assert_array_equal(idx[n, :k_valid], order)
+        np.testing.assert_allclose(sl[n, :k_valid], np.asarray(hl[n])[order], rtol=1e-6)
+        np.testing.assert_allclose(sa[n, :k_valid], np.asarray(ha[n])[order], rtol=1e-6)
+        np.testing.assert_allclose(sd[n, :k_valid], np.asarray(hd[n])[order], rtol=1e-6)
+        assert (idx[n, k_valid:] == -1).all()
+        assert (sl[n, k_valid:] == 1e10).all()
+        assert (sa[n, k_valid:] == 1e10).all()
+        assert (sd[n, k_valid:] == 0).all()
+
+
+def test_fine_no_coarse_equals_dense_selection(rng):
+    """The binned fine op on the all-points bin must equal
+    dense hits + find_nearest_k (the brute-force path is the oracle)."""
+    B, H, W, P, K, thr = 1, 8, 12, 30, 6, 0.01
+    mus, isig = _scene(rng, P=P)
+    R, T, focal, principal = _camera(B)
+    rays, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = mus - origins[0]
+
+    sel = fine.ray_tracing(
+        (R, T, focal, principal), mus_cam[None], isig[None], rays,
+        (H, W), thr=thr, n_assign=K, max_points_per_bin=-1,
+    )
+    hl, ha, hd = dense.ray_trace_voge_ray(mus_cam, isig, rays.reshape(-1, 3))
+    # thr_act convention differs: fine uses -log(thr + 1e-10) (inf=1e10),
+    # find_nearest_k uses -log(thr + 1e-8); negligible for thr=0.01 but we
+    # match the fine op's threshold explicitly here.
+    idx2, sl2, sa2, sd2 = dense._nearest_k_impl(
+        hl, ha, hd, -math.log(thr + 1e-10), K
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sel[0]).reshape(-1, K), np.asarray(idx2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sel[1]).reshape(-1, K), np.asarray(sl2), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sel[2]).reshape(-1, K), np.asarray(sa2), rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(sel[3]).reshape(-1, K), np.asarray(sd2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_coarse_bins_match_reference_ndc_oracle(rng):
+    """My pixel-space binning must reproduce the reference's NDC-space
+    binning *exactly*: literal numpy port of ``convert_to_box``
+    (RayTracing.py:33-39), the bbox kernel (rasterize_coarse.cu:20-42) and
+    the bin overlap tests (rasterize_coarse.cu:111-135)."""
+    B, H, W, P, thr, bin_size = 1, 33, 47, 40, 0.01, 10
+    mus, isig = _scene(rng, P=P, seed_spread=0.8)
+    R, T, focal, principal = _camera(B)
+    _, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = mus[None] - origins[:, None, :]
+    isig_b = jnp.broadcast_to(isig[None], (B, P, 3, 3))
+
+    from voge_tpu.cameras import camera_centers, world_to_view
+
+    Rn = np.asarray(R)
+    C = np.asarray(camera_centers(R, T))
+    pts_world = np.asarray(mus_cam) + C[:, None, :]
+    view = np.asarray(world_to_view(jnp.asarray(pts_world), R, T))
+    z_view = view[..., 2]
+    s = min(H, W)
+    fx, fy = float(focal[0, 0]), float(focal[0, 1])
+    px, py = float(principal[0, 0]), float(principal[0, 1])
+    xs = fx * view[..., 0] / z_view + px
+    ys = fy * view[..., 1] / z_view + py
+    x_ndc = (2 * xs - W) / s  # negated-pytorch3d convention
+    y_ndc = (2 * ys - H) / s
+    isig_cam = np.einsum("bji,bpjk,bkl->bpil", Rn, np.asarray(isig_b), Rn)
+    P2 = np.array([[-2 * fx / s, 0], [0, -2 * fy / s]])
+    inv2 = np.linalg.inv(isig_cam[..., :2, :2])
+    get = -math.log(thr) * np.einsum("ij,bpjk,kl->bpil", P2, inv2, P2)
+    box = np.sqrt(get.sum(axis=2)) * (1 / z_view)[..., None]  # ones @ get
+
+    BH, BW = (H - 1) // bin_size + 1, (W - 1) // bin_size + 1
+
+    def pix2ndc(i, S1, S2):
+        rg = 2.0 if S1 <= S2 else 2.0 * S1 / S2
+        off = rg / 2
+        return -off + (rg * i + off) / S1
+
+    half_x = (2.0 if W <= H else 2.0 * W / H) / 2 / W
+    half_y = (2.0 if H <= W else 2.0 * H / W) / 2 / H
+    oracle = np.zeros((B, BH, BW, P), bool)
+    for p in range(P):
+        if z_view[0, p] < 0:
+            continue
+        xmin, xmax = x_ndc[0, p] - box[0, p, 0], x_ndc[0, p] + box[0, p, 0]
+        ymin, ymax = y_ndc[0, p] - box[0, p, 1], y_ndc[0, p] + box[0, p, 1]
+        for by in range(BH):
+            bymin = pix2ndc(by * bin_size, H, W) - half_y
+            bymax = pix2ndc((by + 1) * bin_size - 1, H, W) + half_y
+            if not ((ymin <= bymax) and (bymin < ymax)):
+                continue
+            for bx in range(BW):
+                bxmin = pix2ndc(bx * bin_size, W, H) - half_x
+                bxmax = pix2ndc((bx + 1) * bin_size - 1, W, H) + half_x
+                if (xmin <= bxmax) and (bxmin < xmax):
+                    oracle[0, by, bx, p] = True
+
+    bins = np.asarray(
+        coarse.rasterize_coarse(
+            R, T, focal, principal, mus_cam, isig_b, (H, W), thr, bin_size, P
+        )
+    )
+    mine = np.zeros_like(oracle)
+    for by in range(BH):
+        for bx in range(BW):
+            for v in bins[0, by, bx]:
+                if v >= 0:
+                    mine[0, by, bx, v % P] = True
+    np.testing.assert_array_equal(mine, oracle)
+
+
+def test_fine_coarse_mostly_matches_no_coarse(rng):
+    """The binned path equals the no-coarse path wherever the bbox culling
+    (a reference-faithful *approximation*) retained every selected kernel;
+    that must be the overwhelming majority of pixels."""
+    B, H, W, P, K, thr = 2, 33, 47, 40, 8, 0.01
+    mus, isig = _scene(rng, P=P, seed_spread=0.8)
+    R, T, focal, principal = _camera(B)
+    rays, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = mus[None] - origins[:, None, :]
+    isig_b = jnp.broadcast_to(isig[None], (B, P, 3, 3))
+
+    out_nc = fine.ray_tracing(
+        (R, T, focal, principal), mus_cam, isig_b, rays,
+        (H, W), thr=thr, n_assign=K, max_points_per_bin=-1,
+    )
+    bin_size = 10
+    out_c = fine.ray_tracing(
+        (R, T, focal, principal), mus_cam, isig_b, rays,
+        (H, W), thr=thr, n_assign=K, bin_size=bin_size, max_points_per_bin=P,
+    )
+    bins = np.asarray(
+        coarse.rasterize_coarse(
+            R, T, focal, principal, mus_cam, isig_b, (H, W), thr, bin_size, P
+        )
+    )
+    idx_nc = np.asarray(out_nc[0])
+    idx_c = np.asarray(out_c[0])
+    n_match = 0
+    n_px = 0
+    for b in range(B):
+        for i in range(H):
+            for j in range(W):
+                blist = set(
+                    int(v) for v in bins[b, i // bin_size, j // bin_size] if v >= 0
+                )
+                sel = set(int(v) for v in idx_nc[b, i, j] if v >= 0)
+                n_px += 1
+                if sel <= blist:
+                    # culling kept everything -> selection must be identical
+                    np.testing.assert_array_equal(
+                        idx_c[b, i, j], idx_nc[b, i, j], err_msg=str((b, i, j))
+                    )
+                    n_match += 1
+    assert n_match / n_px > 0.9, f"only {n_match}/{n_px} culling-safe pixels"
+
+
+def _dense_pipeline_loss(mus, isig, rays, thr, K):
+    """Differentiable loss through the *autodiffed* dense selection path."""
+    hl, ha, hd = dense.hit_values(mus, isig, rays)
+    idx, sl, sa, sd = dense._nearest_k_impl(hl, ha, hd, -math.log(thr + 1e-10), K)
+    w = jnp.where(idx >= 0, sl * 0.3 + sa * 0.5 + sd * 0.2, 0.0)
+    return jnp.sum(jnp.sin(w))
+
+
+def _fine_pipeline_loss(mus, isig, rays4, bin_points, thr, K):
+    idx, sl, sa, sd = fine.ray_tracing_fine(
+        mus, isig, rays4, bin_points, thr, (rays4.shape[1], rays4.shape[2]), K
+    )
+    w = jnp.where(idx >= 0, sl * 0.3 + sa * 0.5 + sd * 0.2, 0.0)
+    return jnp.sum(jnp.sin(w))
+
+
+def test_custom_vjp_matches_autodiff_of_dense(rng):
+    """The analytic backward of the fine op must equal jax.grad through the
+    dense jnp formulation (the key gradient-correctness test)."""
+    H, W, P, K, thr = 6, 7, 16, 4, 0.01
+    mus, isig = _scene(rng, P=P)
+    R, T, focal, principal = _camera(1)
+    rays, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = mus - origins[0]
+
+    # all-points bin
+    bin_points = (
+        jnp.arange(P, dtype=jnp.int32)[None, None, None, :]
+    )
+
+    g_fine = jax.grad(_fine_pipeline_loss, argnums=(0, 1, 2))(
+        mus_cam, isig, rays, bin_points, thr, K
+    )
+    g_dense = jax.grad(
+        lambda m, s, r: _dense_pipeline_loss(m, s, r.reshape(-1, 3), thr, K),
+        argnums=(0, 1, 2),
+    )(mus_cam, isig, rays)
+
+    for a, b, name in zip(g_fine, g_dense, ("mus", "isig", "rays")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+
+def test_convert_to_box_matches_reference(ref, rng):
+    import torch
+
+    B, N = 2, 9
+    a = rng.uniform(-1, 1, size=(B, N, 3, 3)).astype(np.float32)
+    isig = np.einsum("bpij,bpkj->bpik", a, a) + 2.0 * np.eye(3, dtype=np.float32)
+    z = rng.uniform(0.1, 2.0, size=(B, N)).astype(np.float32)
+    mat = rng.uniform(-2, 2, size=(B, 4, 4)).astype(np.float32)
+    thr = 0.01
+
+    # reference convert_to_box lives in RayTracing.py which imports _C; the
+    # formula is small enough to inline here as the torch oracle:
+    t_isig = torch.from_numpy(isig)
+    t_mat = torch.from_numpy(mat)
+    get = -np.log(thr) * t_mat[:, None, :2, :2] @ torch.inverse(
+        t_isig[:, :, :2, :2]
+    ) @ t_mat[:, None, :2, :2]
+    boxes_ref = (
+        torch.ones((B, N, 1, 2)) @ get
+    ).pow(0.5).squeeze(2) * torch.from_numpy(z).unsqueeze(-1)
+
+    boxes_jax = coarse.convert_to_box(
+        jnp.asarray(isig), thr, jnp.asarray(z), jnp.asarray(mat)
+    )
+    np.testing.assert_allclose(
+        np.asarray(boxes_jax), boxes_ref.numpy(), rtol=1e-4, atol=1e-5, equal_nan=True
+    )

@@ -103,7 +103,8 @@ def look_at_view_transform(
     at = jnp.broadcast_to(jnp.asarray(at, dtype=dtype), C.shape)
     up = jnp.broadcast_to(jnp.asarray(up, dtype=dtype), C.shape)
     R = look_at_rotation(C, at, up, dtype=dtype)
-    T = -jnp.einsum("nij,nj->ni", jnp.swapaxes(R, 1, 2), C)
+    T = -jnp.einsum("nij,nj->ni", jnp.swapaxes(R, 1, 2), C,
+                    precision=jax.lax.Precision.HIGHEST)
     return R, T
 
 
@@ -205,12 +206,13 @@ def camera_centers(R: jax.Array, T: jax.Array) -> jax.Array:
     slightly non-orthonormal R.
     """
     Rinv = jnp.linalg.inv(R)  # (B,3,3)
-    return -jnp.einsum("bj,bji->bi", T, Rinv)
+    return -jnp.einsum("bj,bji->bi", T, Rinv, precision=jax.lax.Precision.HIGHEST)
 
 
 def world_to_view(points: jax.Array, R: jax.Array, T: jax.Array) -> jax.Array:
     """``x_view = x_world @ R + T`` (row-vector convention). points (B,N,3)."""
-    return jnp.einsum("bnj,bji->bni", points, R) + T[:, None, :]
+    return (jnp.einsum("bnj,bji->bni", points, R,
+                       precision=jax.lax.Precision.HIGHEST) + T[:, None, :])
 
 
 def view_to_screen(points_view: jax.Array, focal: jax.Array, principal: jax.Array) -> jax.Array:

@@ -52,8 +52,10 @@ def hit_values(
     :param rays: (..., N, 3) unit directions
     :return: three arrays of shape (..., N, P)
     """
-    # A = Lambda mu : (..., P, 3)
-    A = jnp.einsum("...pij,...pj->...pi", isigmas, mus, precision=_P)
+    # A = Lambda^T mu : (..., P, 3).  The transpose matters for gradient
+    # parity with the CUDA reference, which contracts mu^T Lambda r
+    # (Innerdot3d(mus, isigmas, rays)) so d/dLambda_ij = mu_i r_j.
+    A = jnp.einsum("...pji,...pj->...pi", isigmas, mus, precision=_P)
     # msm = mu^T Lambda mu : (..., P)
     msm = jnp.einsum("...pi,...pi->...p", mus, A, precision=_P)
     # msk = mu^T Lambda r : (..., N, P)

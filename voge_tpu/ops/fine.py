@@ -93,8 +93,10 @@ def _fine_forward(
     mu_c = mus[idxc]        # (B,BH,BW,M,3)
     is_c = isigmas[idxc]    # (B,BH,BW,M,3,3)
 
-    # quadratic forms (thin einsums; f32 HIGHEST so MXU doesn't downcast)
-    A = jnp.einsum("...mij,...mj->...mi", is_c, mu_c, precision=_P)
+    # quadratic forms (thin einsums; f32 HIGHEST so MXU doesn't downcast).
+    # A = Lambda^T mu: contraction order matches the CUDA reference's
+    # mu^T Lambda r (relevant only for asymmetric Lambda).
+    A = jnp.einsum("...mji,...mj->...mi", is_c, mu_c, precision=_P)
     msm = jnp.einsum("...mi,...mi->...m", mu_c, A, precision=_P)
     msk = jnp.einsum("...rd,...md->...rm", r_b, A, precision=_P)
     rr9 = (r_b[..., :, :, None] * r_b[..., :, None, :]).reshape(

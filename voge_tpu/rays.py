@@ -57,7 +57,8 @@ def camera_rays(
     """
     d_view = pixel_dirs_view(image_size, focal, principal, dtype=R.dtype)
     Rinv = jnp.linalg.inv(R)
-    d_world = jnp.einsum("bhwj,bji->bhwi", d_view, Rinv)
+    d_world = jnp.einsum("bhwj,bji->bhwi", d_view, Rinv,
+                         precision=jax.lax.Precision.HIGHEST)
     d_world = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)
     origins = camera_centers(R, T)
     return d_world, origins
