@@ -1,0 +1,169 @@
+"""Chunked execution and multi-chip sharding tests (8 virtual CPU devices)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from voge_tpu.cameras import look_at_view_transform
+from voge_tpu.converter import Cuboid
+from voge_tpu.parallel import (
+    Batchifier,
+    DataParallelBatchifier,
+    batchify,
+    make_mesh,
+    render_pipeline_sharded,
+)
+from voge_tpu.renderer import render_pipeline
+
+
+def test_batchify_matches_unchunked(rng):
+    def foo(x, y):
+        return x * 2 + y.sum(), y[..., :1]
+
+    x = jnp.asarray(rng.uniform(size=(6, 5, 2, 2)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(size=(6, 5, 2, 2)).astype(np.float32))
+    foo_b = batchify(foo, 7, batch_args=("x", "y"), remain_dims=(0, 3))
+    got = foo_b(x=x, y=y)
+    # remain_dims (0, 3): dims 1-2 ravel; per-chunk y.sum() differs from the
+    # global sum, so compare only the sliced output which is elementwise.
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(y[..., :1]), rtol=1e-6)
+    assert got[0].shape == x.shape
+
+
+def test_batchifier_matches_reference_semantics(ref, rng):
+    """Same chunk/reshape plumbing as the reference torch Batchifier."""
+    import torch
+
+    def foo_t(x, y):
+        return x + 1, y - 1
+
+    def foo_j(x, y):
+        return x + 1, y - 1
+
+    x = rng.uniform(size=(6, 5, 2, 2)).astype(np.float32)
+    y = rng.uniform(size=(6, 5, 2, 2)).astype(np.float32)
+
+    ref_b = ref.Utils.Batchifier(6, batch_args=("x", "y"), remain_dims=(0, 3))(foo_t)
+    out_ref = ref_b(x=torch.from_numpy(x), y=torch.from_numpy(y))
+
+    my_b = Batchifier(6, batch_args=("x", "y"), remain_dims=(0, 3))(foo_j)
+    out_my = my_b(x=jnp.asarray(x), y=jnp.asarray(y))
+
+    for a, b in zip(out_my, out_ref):
+        np.testing.assert_allclose(np.asarray(a), b.numpy(), rtol=1e-6)
+        assert a.shape == tuple(b.shape)
+
+
+def _scene_and_cams(B=8, N=160):
+    g = Cuboid.cuboid_gauss((-1, 1), (-1, 1), (-1, 1), N, percentage=0.6, as_obj=True)
+    R, T = look_at_view_transform(
+        dist=[5.0] * B,
+        elev=list(np.linspace(0, 40, B)),
+        azim=list(np.linspace(-60, 60, B)),
+    )
+    focal = jnp.broadcast_to(jnp.asarray([[80.0, 80.0]]), (B, 2))
+    principal = jnp.broadcast_to(jnp.asarray([[32.0, 32.0]]), (B, 2))
+    return g, R, T, focal, principal
+
+
+@pytest.mark.parametrize("mesh_shape,axes", [
+    ((8, 1), ("data", "model")),
+    ((2, 4), ("data", "model")),
+    ((1, 8), ("data", "model")),
+])
+def test_sharded_render_matches_single_device(mesh_shape, axes):
+    """shard_map render over (data=cameras, model=Gaussians) must equal the
+    single-device renderer bit-for-bit in selection and to fp tolerance in
+    weights."""
+    g, R, T, focal, principal = _scene_and_cams(B=8)
+    # pad gaussians to a multiple of 8 for even sharding
+    N = g.verts.shape[0]
+    Np = ((N + 7) // 8) * 8
+    verts = jnp.pad(g.verts, ((0, Np - N), (0, 0)), constant_values=100.0)
+    sigmas = jnp.pad(g.sigmas, ((0, Np - N),), constant_values=1.0)
+
+    kwargs = dict(image_size=(64, 64), max_assign=8, max_point_per_bin=-1)
+    frag_1 = render_pipeline(verts, sigmas, R, T, focal, principal, **kwargs)
+
+    mesh = make_mesh(axes, mesh_shape)
+    frag_s = render_pipeline_sharded(
+        verts, sigmas, R, T, focal, principal, mesh=mesh, **kwargs
+    )
+    # Selection may flip for knife-edge candidates whose activation sits
+    # within 1 ulp of the threshold (different XLA fusions); such candidates
+    # carry weight <= ~thr, so indices must agree except for a vanishing
+    # fraction and weights must agree to ~thr.
+    i1 = np.asarray(frag_1.vert_index)
+    i2 = np.asarray(frag_s.vert_index)
+    assert (i1 != i2).mean() < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(frag_s.vert_weight).sum(-1),
+        np.asarray(frag_1.vert_weight).sum(-1),
+        rtol=1e-4, atol=0.02,
+    )
+    exact = (i1 == i2).all(axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(frag_s.vert_weight)[exact],
+        np.asarray(frag_1.vert_weight)[exact],
+        rtol=1e-4, atol=5e-5,
+    )
+
+
+def test_sharded_render_gradients_match():
+    g, R, T, focal, principal = _scene_and_cams(B=4)
+    N = g.verts.shape[0]
+    Np = ((N + 7) // 8) * 8
+    verts = jnp.pad(g.verts, ((0, Np - N), (0, 0)), constant_values=100.0)
+    sigmas = jnp.pad(g.sigmas, ((0, Np - N),), constant_values=1.0)
+    kwargs = dict(image_size=(32, 32), max_assign=6, max_point_per_bin=-1)
+
+    def loss_single(v, s):
+        f = render_pipeline(v, s, R, T, focal, principal, **kwargs)
+        return jnp.sum(f.vert_weight ** 2)
+
+    mesh = make_mesh(("data", "model"), (2, 4))
+
+    def loss_sharded(v, s):
+        f = render_pipeline_sharded(
+            v, s, R, T, focal, principal, mesh=mesh, **kwargs
+        )
+        return jnp.sum(f.vert_weight ** 2)
+
+    # Knife-edge threshold flips (see test above) change which kernels a
+    # pixel selects, which legitimately changes that pixel's gradient paths.
+    # Exclude kernels touched by flipped pixels from the comparison and
+    # require flips to be vanishingly rare.
+    f1 = render_pipeline(verts, sigmas, R, T, focal, principal, **kwargs)
+    fs = render_pipeline_sharded(
+        verts, sigmas, R, T, focal, principal, mesh=mesh, **kwargs
+    )
+    i1 = np.asarray(f1.vert_index)
+    i2 = np.asarray(fs.vert_index)
+    flipped_px = (i1 != i2).any(-1)
+    assert flipped_px.mean() < 1e-3
+    Np_ = verts.shape[0]
+    excluded = set()
+    for b, i, j in np.argwhere(flipped_px):
+        for v in list(i1[b, i, j]) + list(i2[b, i, j]):
+            if v >= 0:
+                excluded.add(int(v) % Np_)
+    keep = np.array([i not in excluded for i in range(Np_)])
+
+    g1 = jax.grad(loss_single, argnums=(0, 1))(verts, sigmas)
+    g2 = jax.grad(loss_sharded, argnums=(0, 1))(verts, sigmas)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(
+            np.asarray(a)[keep], np.asarray(b)[keep], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_data_parallel_batchifier_runs():
+    def foo(x):
+        return x * 2.0
+
+    dp = DataParallelBatchifier(8, batch_args="x", target_dims=0)
+    out = dp(jax.jit(foo))(x=jnp.arange(24.0).reshape(24, 1))
+    np.testing.assert_allclose(
+        np.asarray(out), np.arange(24.0).reshape(24, 1) * 2
+    )

@@ -1,0 +1,162 @@
+"""End-to-end renderer tests: quickstart scene, compositing vs the torch
+reference, batching, and gradient flow."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from voge_tpu.cameras import PerspectiveCameras, look_at_view_transform
+from voge_tpu.converter import Cuboid
+from voge_tpu.renderer import (
+    Fragments,
+    GaussianRenderer,
+    GaussianRenderSettings,
+    get_silhouette,
+    interpolate_attr,
+    render_pipeline,
+    to_white_background,
+)
+
+
+@pytest.fixture(scope="module")
+def quickstart():
+    """The README quickstart cuboid scene (Readme.md:70-101)."""
+    gaussians = Cuboid.cuboid_gauss(
+        (-1, 1), (-1, 1), (-1, 1), 1000, percentage=0.6, as_obj=True
+    )
+    camera = PerspectiveCameras(
+        focal_length=300, image_size=((256, 256),), principal_point=((128, 128),)
+    )
+    rs = GaussianRenderSettings(image_size=(256, 256), principal=(128, 128))
+    renderer = GaussianRenderer(cameras=camera, render_settings=rs)
+    R, T = look_at_view_transform(dist=6, elev=10, azim=70)
+    frag = renderer(gaussians, R=R, T=T)
+    return gaussians, renderer, frag, (R, T)
+
+
+def test_quickstart_stats(quickstart):
+    gaussians, renderer, frag, _ = quickstart
+    assert frag.vert_weight.shape == (1, 256, 256, 20)
+    assert frag.vert_index.shape == (1, 256, 256, 20)
+    assert frag.valid_num.shape == (1, 256, 256)
+    w = np.asarray(frag.vert_weight)
+    assert 0.85 < w.max() <= 1.2          # near-opaque front kernels
+    assert (np.asarray(frag.valid_num) > 0).mean() > 0.2  # object coverage
+    idx = np.asarray(frag.vert_index)
+    assert idx.max() < gaussians.verts.shape[0]
+    img = np.asarray(to_white_background(frag, (gaussians.verts + 1) / 3))
+    assert img.shape == (1, 256, 256, 3)
+    # corners are background (white)
+    assert img[0, 0, 0].min() > 0.999 and img[0, -1, -1].min() > 0.999
+    # object interior is not white
+    assert img[0, 128, 128].mean() < 0.99
+
+
+def test_quickstart_golden_snapshot(quickstart):
+    """Pin scene statistics within tight bounds as a regression tripwire
+    (values produced by this implementation, verified visually against the
+    reference's published renders; update deliberately if the math changes)."""
+    _, _, frag, _ = quickstart
+    sil = np.asarray(get_silhouette(frag))
+    assert 0.25 < sil.mean() < 0.45
+    w = np.asarray(frag.vert_weight)
+    assert 25000 < w.sum() < 31000
+
+
+def test_interpolate_attr_matches_reference_merge(ref, quickstart):
+    """Compositing through our merge_final must equal the reference torch
+    merge_final on identical fragments."""
+    import torch
+
+    gaussians, _, frag, _ = quickstart
+    colors = (np.asarray(gaussians.verts) + 1) / 3
+    out_jax = np.asarray(interpolate_attr(frag, jnp.asarray(colors)))
+    out_ref = ref.Aggregation.merge_final(
+        torch.from_numpy(colors.astype(np.float32)),
+        torch.from_numpy(np.asarray(frag.vert_weight)),
+        torch.from_numpy(np.asarray(frag.vert_index).astype(np.int64)),
+        torch.from_numpy(np.asarray(frag.valid_num).astype(np.int64)),
+    ).numpy()
+    np.testing.assert_allclose(out_jax, out_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_batched_render_matches_single(quickstart):
+    """Rendering B views at once must equal rendering them one by one,
+    with fragment indices offset by b * N."""
+    gaussians, renderer, _, _ = quickstart
+    R1, T1 = look_at_view_transform(dist=6, elev=10, azim=70)
+    R2, T2 = look_at_view_transform(dist=6, elev=25, azim=-30)
+    Rb = jnp.concatenate([R1, R2]); Tb = jnp.concatenate([T1, T2])
+
+    frag_b = renderer(gaussians, R=Rb, T=Tb)
+    frag_1 = renderer(gaussians, R=R1, T=T1)
+    frag_2 = renderer(gaussians, R=R2, T=T2)
+
+    N = gaussians.verts.shape[0]
+    np.testing.assert_allclose(
+        np.asarray(frag_b.vert_weight[0]), np.asarray(frag_1.vert_weight[0]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(frag_b.vert_weight[1]), np.asarray(frag_2.vert_weight[0]),
+        rtol=1e-5, atol=1e-6,
+    )
+    i2 = np.asarray(frag_b.vert_index[1])
+    i2_single = np.asarray(frag_2.vert_index[0])
+    np.testing.assert_array_equal(
+        np.where(i2 >= 0, i2 - N, -1), i2_single
+    )
+    # batched interpolate with (N, 3) colors tiles them over views
+    colors = jnp.asarray((np.asarray(gaussians.verts) + 1) / 3)
+    img_b = np.asarray(to_white_background(frag_b, colors))
+    img_2 = np.asarray(to_white_background(frag_2, colors))
+    np.testing.assert_allclose(img_b[1], img_2[0], rtol=1e-5, atol=1e-6)
+
+
+def test_gradients_flow_and_are_finite(quickstart):
+    gaussians, _, _, (R, T) = quickstart
+    colors = jnp.asarray((np.asarray(gaussians.verts) + 1) / 3)
+    focal = jnp.asarray([[300.0, 300.0]])
+    principal = jnp.asarray([[128.0, 128.0]])
+
+    def loss_fn(verts, sigmas):
+        frag = render_pipeline(
+            verts, sigmas, R, T, focal, principal,
+            image_size=(64, 64), max_assign=10,
+        )
+        img = to_white_background(frag, colors)
+        sil = get_silhouette(frag)
+        return jnp.mean(img ** 2) + jnp.mean(sil)
+
+    g_v, g_s = jax.grad(loss_fn, argnums=(0, 1))(
+        gaussians.verts, gaussians.sigmas
+    )
+    assert np.isfinite(np.asarray(g_v)).all()
+    assert np.isfinite(np.asarray(g_s)).all()
+    assert float(jnp.abs(g_v).max()) > 0
+    assert float(jnp.abs(g_s).max()) > 0
+    assert g_v.shape == gaussians.verts.shape
+    assert g_s.shape == gaussians.sigmas.shape
+
+
+def test_fragments_pytree_and_api():
+    w = jnp.ones((2, 4, 4, 3))
+    i = jnp.zeros((2, 4, 4, 3), dtype=jnp.int32)
+    v = jnp.ones((2, 4, 4), dtype=jnp.int32)
+    f = Fragments(w, i, v, w)
+    assert len(f) == 2
+    f0 = f[0]
+    assert f0.vert_weight.shape == (4, 4, 3)
+    f0u = f0.unsqueeze()
+    assert f0u.vert_weight.shape == (1, 4, 4, 3)
+    leaves = jax.tree_util.tree_leaves(f)
+    assert len(leaves) == 4
+    d = f.to_dict()
+    assert set(d) == {"vert_weight", "vert_index", "valid_num", "vert_hit_length"}
+
+
+def test_render_settings_kwargs_swallowing():
+    rs = GaussianRenderSettings(batch_size=-1, image_size=128, principal=(64, 64))
+    assert rs.image_size == (128, 128)
+    assert rs["max_assign"] == 20
