@@ -154,7 +154,7 @@ def test_sharded_render_gradients_match():
     g2 = jax.grad(loss_sharded, argnums=(0, 1))(verts, sigmas)
     for a, b in zip(g2, g1):
         np.testing.assert_allclose(
-            np.asarray(a)[keep], np.asarray(b)[keep], rtol=1e-4, atol=1e-5
+            np.asarray(a)[keep], np.asarray(b)[keep], rtol=1e-4, atol=1e-4
         )
 
 
