@@ -205,7 +205,9 @@ def camera_centers(R: jax.Array, T: jax.Array) -> jax.Array:
     (``RayTracing.py:45``: ``C = -inverse(R^T) @ T``) even for
     slightly non-orthonormal R.
     """
-    Rinv = jnp.linalg.inv(R)  # (B,3,3)
+    from voge_tpu.utils import inv3x3
+
+    Rinv = inv3x3(R)  # (B,3,3)
     return -jnp.einsum("bj,bji->bi", T, Rinv, precision=jax.lax.Precision.HIGHEST)
 
 

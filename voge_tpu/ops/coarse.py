@@ -6,25 +6,29 @@ binning rasterizer (reference ``rasterize_coarse.cu`` + the camera math in
 
   - works directly in continuous pixel coordinates (the reference's negated
     NDC convention is an affine rescale of these; the overlap tests are
-    equivalent term by term);
+    equivalent term by term — verified exactly in
+    ``tests/test_ops.py::test_coarse_bins_match_reference_ndc_oracle``);
+  - all math is *component planes* over (B, P) arrays — no batched 3x3
+    matmuls, no (..., 3, 3) hot arrays (those compile catastrophically on
+    TPU);
   - per-bin candidate lists are built with a cumsum + capped scatter instead
     of shared-memory atomics, so the output is deterministic and ordered by
     Gaussian index (the CUDA version's intra-bin order is nondeterministic);
   - overflow (more than ``max_points_per_bin`` candidates in a bin) is
     *reported* via a returned per-bin count instead of a device printf with
-    silent truncation (``rasterize_coarse.cu:154-170``); truncation keeps the
-    lowest-index candidates;
+    silent truncation (``rasterize_coarse.cu:154-170``); truncation keeps
+    the lowest-index candidates;
   - no 66-bins-per-axis limit (``rasterization_utils.cuh:51`` is a CUDA
     shared-memory constraint that does not apply here).
 
 The ellipse bounding-box radius reproduces ``RayTracing.py:33-39``
 (``convert_to_box``): in pixel units,
 
-    r_j = sqrt(-log(thr) * sum_i f_i f_j inv2[i, j]) / z_view,   j in {x, y}
+    r_j = sqrt(-log(thr) * sum_i f_i f_j inv2[i, j]) / z_view,  j in {x, y}
 
 with ``inv2`` the inverse of the top-left 2x2 block of the camera-rotated
-Lambda (Lambda_cam = R^T Lambda R) and f the focal lengths.  Gaussians behind
-the camera (z_view < 0) are skipped (``rasterize_coarse.cu:35``).
+Lambda (Lambda_cam = R^T Lambda R) and f the focal lengths.  Gaussians
+behind the camera (z_view < 0) are skipped (``rasterize_coarse.cu:35``).
 """
 from __future__ import annotations
 
@@ -51,32 +55,103 @@ def coarse_bin_config(image_size, n_assign: int, n_points: int,
     return int(bin_size), int(max_points_per_bin)
 
 
-def ellipse_pixel_radii(
-    isigmas_cam: jax.Array, focal: jax.Array, thr: float, z_view: jax.Array
-) -> jax.Array:
-    """Conservative pixel-space half-extents of the thr-level ellipse.
+def _camera_planes(R, T, focal, principal, points):
+    """Per-Gaussian view-space / screen-space planes.
 
-    :param isigmas_cam: (B, P, 3, 3) camera-rotated Lambda
-    :param focal: (B, 2); :param z_view: (B, P)
-    :return: (B, P, 2) radii (rx, ry); NaN where the box formula degenerates
-             (NaN compares false in the overlap test, matching torch pow(.5)
-             of a negative argument).
+    :param points: (B, P, 3) camera-centered world points (verts - C)
+    :return: (u, v, z_view) each (B, P); and the world points' view coords
+        are u = fx x/z + px etc.  All math elementwise over (B, P).
     """
-    a = isigmas_cam[..., 0, 0]
-    b = isigmas_cam[..., 0, 1]
-    c = isigmas_cam[..., 1, 0]
-    d = isigmas_cam[..., 1, 1]
-    det = a * d - b * c
-    inv00, inv01, inv10, inv11 = d / det, -b / det, -c / det, a / det
+    # camera center (row convention): C @ R + T = 0 -> C = -T @ inv(R).
+    # For points expressed camera-centered (x_w - C), the view transform is
+    #   x_v = (x_w - C + C) @ R + T = x_cc @ R + (C @ R + T) = x_cc @ R.
+    p = [points[..., d] for d in range(3)]                    # (B, P) planes
+    view = [
+        sum(p[j] * R[:, j, d][:, None] for j in range(3)) for d in range(3)
+    ]
+    z = view[2]
+    u = view[0] * focal[:, 0:1] / z + principal[:, 0:1]
+    v = view[1] * focal[:, 1:2] / z + principal[:, 1:2]
+    return u, v, z
+
+
+def _pixel_radii_planes(R, focal, isigmas, thr: float, z):
+    """Pixel-space half-extents (rx, ry) of the thr-level ellipse bbox,
+    reference ``convert_to_box`` math in planes form.
+
+    Lc[a][b] = sum_ij R[i,a] L[i,j] R[j,b] for a,b in {0,1} (camera-rotated
+    Lambda, top-left 2x2 block); inv2 = closed-form 2x2 inverse;
+    r_j = sqrt(-log(thr) * colsum_j(F inv2 F)) / z.
+    """
+    L = [[isigmas[..., i, j] for j in range(3)] for i in range(3)]  # (B,P)
+    Rc = [[R[:, i, a][:, None] for a in range(3)] for i in range(3)]
+    Lc = [[None, None], [None, None]]
+    for a in range(2):
+        for b in range(2):
+            acc = 0.0
+            for i in range(3):
+                for j in range(3):
+                    acc = acc + Rc[i][a] * L[i][j] * Rc[j][b]
+            Lc[a][b] = acc
+    det = Lc[0][0] * Lc[1][1] - Lc[0][1] * Lc[1][0]
+    inv00 = Lc[1][1] / det
+    inv01 = -Lc[0][1] / det
+    inv10 = -Lc[1][0] / det
+    inv11 = Lc[0][0] / det
     fx = focal[:, 0:1]
     fy = focal[:, 1:2]
-    neg_log_thr = -math.log(thr)
-    # column sums of F @ inv2 @ F (reference sums ones @ get, i.e. over rows)
+    nlt = -math.log(thr)
     col_x = fx * fx * inv00 + fy * fx * inv10
     col_y = fx * fy * inv01 + fy * fy * inv11
-    rx = jnp.sqrt(neg_log_thr * col_x) / z_view
-    ry = jnp.sqrt(neg_log_thr * col_y) / z_view
-    return jnp.stack([rx, ry], axis=-1)
+    rx = jnp.sqrt(nlt * col_x) / z
+    ry = jnp.sqrt(nlt * col_y) / z
+    return rx, ry
+
+
+def overlap_mask(
+    R: jax.Array, T: jax.Array, focal: jax.Array, principal: jax.Array,
+    points: jax.Array, isigmas: jax.Array, image_size: Tuple[int, int],
+    thr: float, bin_size: int,
+):
+    """Per-(bin, Gaussian) overlap mask (B, BH, BW, P) plus z-cull."""
+    B, P = points.shape[0], points.shape[1]
+    H, W = int(image_size[0]), int(image_size[1])
+    BH = (H - 1) // bin_size + 1
+    BW = (W - 1) // bin_size + 1
+
+    u, v, z = _camera_planes(R, T, focal, principal, points)
+    rx, ry = _pixel_radii_planes(R, focal, isigmas, thr, z)
+    keep = ~(z < 0)
+
+    bx = jnp.arange(BW, dtype=points.dtype)[None, :, None] * bin_size
+    by = jnp.arange(BH, dtype=points.dtype)[None, :, None] * bin_size
+    # (B, BW, P) and (B, BH, P): P stays on lanes
+    xo = ((u - rx)[:, None, :] <= bx + bin_size) & (bx < (u + rx)[:, None, :])
+    yo = ((v - ry)[:, None, :] <= by + bin_size) & (by < (v + ry)[:, None, :])
+    overlap = (
+        yo[:, :, None, :] & xo[:, None, :, :] & keep[:, None, None, :]
+    )  # (B, BH, BW, P)
+    return overlap
+
+
+def compact_mask(mask: jax.Array, M: int, base_offset: Optional[jax.Array] = None):
+    """Rows of set-bit indices, ascending, -1-padded, capped at M.
+
+    :param mask: (nb, P) bool
+    :param base_offset: optional (nb,) added to emitted indices
+    :return: (bin_points (nb, M) int32, counts (nb,) int32)
+    """
+    nb, P = mask.shape
+    pos = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
+    counts = pos[:, -1] + 1
+    row = jnp.broadcast_to(jnp.arange(nb)[:, None], (nb, P))
+    flat_idx = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None, :], (nb, P))
+    if base_offset is not None:
+        flat_idx = flat_idx + base_offset[:, None].astype(jnp.int32)
+    pos_write = jnp.where(mask, pos, M)  # out-of-range -> dropped
+    bin_points = jnp.full((nb, M), -1, dtype=jnp.int32)
+    bin_points = bin_points.at[row, pos_write].set(flat_idx, mode="drop")
+    return bin_points, counts
 
 
 def rasterize_coarse(
@@ -103,52 +178,14 @@ def rasterize_coarse(
     BW = (W - 1) // bin_size + 1
     M = int(max_points_per_bin)
 
-    # camera center; points back to world, then to view space
-    from voge_tpu.cameras import camera_centers, world_to_view  # local import
-
-    C = camera_centers(R, T)
-    pts_world = points + C[:, None, :]
-    pts_view = world_to_view(pts_world, R, T)
-    z_view = pts_view[..., 2]
-    # continuous pixel coords of centers
-    u = pts_view[..., 0] * focal[:, 0:1] / z_view + principal[:, 0:1]
-    v = pts_view[..., 1] * focal[:, 1:2] / z_view + principal[:, 1:2]
-
-    # camera-rotated Lambda and pixel radii
-    isig_cam = jnp.einsum("bji,bpjk,bkl->bpil", R, isigmas, R, precision=_P)
-    radii = ellipse_pixel_radii(isig_cam, focal, thr, z_view)
-    rx, ry = radii[..., 0], radii[..., 1]
-
-    skip = z_view < 0
-
-    # overlap tests against every bin (B, P, BH/BW)
-    bx_edges = jnp.arange(BW, dtype=points.dtype) * bin_size
-    by_edges = jnp.arange(BH, dtype=points.dtype) * bin_size
-    x_overlap = (
-        ((u - rx)[..., None] <= bx_edges[None, None, :] + bin_size)
-        & (bx_edges[None, None, :] < (u + rx)[..., None])
+    overlap = overlap_mask(
+        R, T, focal, principal, points, isigmas, (H, W), thr, bin_size
     )
-    y_overlap = (
-        ((v - ry)[..., None] <= by_edges[None, None, :] + bin_size)
-        & (by_edges[None, None, :] < (v + ry)[..., None])
-    )
-    # (B, BH, BW, P)
-    overlap = (
-        y_overlap[:, :, :, None]
-        & x_overlap[:, :, None, :]
-        & ~skip[:, :, None, None]
-    ).transpose(0, 2, 3, 1)
-
-    # deterministic capped compaction, ascending Gaussian index
     mask = overlap.reshape(B * BH * BW, P)
-    pos = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1  # target slot
-    counts = pos[:, -1] + 1
-    row = jnp.broadcast_to(jnp.arange(B * BH * BW)[:, None], (B * BH * BW, P))
-    b_of_row = jnp.arange(B * BH * BW, dtype=jnp.int32) // (BH * BW)
-    flat_idx = jnp.arange(P, dtype=jnp.int32)[None, :] + (b_of_row * P)[:, None]
-    pos_write = jnp.where(mask, pos, M)  # out-of-range -> dropped
-    bin_points = jnp.full((B * BH * BW, M), -1, dtype=jnp.int32)
-    bin_points = bin_points.at[row, pos_write].set(flat_idx, mode="drop")
+    base = (
+        jnp.repeat(jnp.arange(B, dtype=jnp.int32), BH * BW) * P
+    )
+    bin_points, counts = compact_mask(mask, M, base_offset=base)
     bin_points = bin_points.reshape(B, BH, BW, M)
     if return_counts:
         return bin_points, counts.reshape(B, BH, BW)
@@ -157,15 +194,27 @@ def rasterize_coarse(
 
 def convert_to_box(isigmas: jax.Array, thr: float, z: jax.Array, matrix: jax.Array) -> jax.Array:
     """NDC-space box half-extents; literal port of ``RayTracing.py:33-39``
-    for API parity / tests.
+    for API parity / tests (planes math, no batched tiny matmuls).
 
     :param isigmas: (B, N, 3, 3) camera-rotated Lambda
     :param z: (B, N) multiplier (the renderer passes 1/z_view)
     :param matrix: (B, 4, 4) projection matrix (only [:2,:2] used)
     :return: (B, N, 2)
     """
-    m2 = matrix[:, None, :2, :2]
-    inv2 = jnp.linalg.inv(isigmas[:, :, :2, :2])
-    get = -math.log(thr) * m2 @ inv2 @ m2
-    ones = jnp.ones(isigmas.shape[0:2] + (1, 2), dtype=isigmas.dtype)
-    return jnp.sqrt((ones @ get))[..., 0, :] * z[..., None]
+    a = isigmas[..., 0, 0]
+    b = isigmas[..., 0, 1]
+    c = isigmas[..., 1, 0]
+    d = isigmas[..., 1, 1]
+    det = a * d - b * c
+    inv = [[d / det, -b / det], [-c / det, a / det]]
+    m = [[matrix[:, i, j][:, None] for j in range(2)] for i in range(2)]
+    nlt = -math.log(thr)
+    boxes = []
+    for col in range(2):
+        acc = 0.0
+        for i in range(2):
+            for k in range(2):
+                for j in range(2):
+                    acc = acc + m[i][k] * inv[k][j] * m[j][col]
+        boxes.append(jnp.sqrt(nlt * acc) * z)
+    return jnp.stack(boxes, axis=-1)

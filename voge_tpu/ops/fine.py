@@ -1,36 +1,37 @@
 """Fine stage: binned per-pixel ray tracing with analytic custom VJP.
 
 TPU-native replacement for the reference's hot CUDA kernel
-(``ray_trace_voge.cu``).  Design:
+(``ray_trace_voge.cu``).  Two implementations behind one interface:
 
-  forward  — pixels are grouped by bin; each bin evaluates its (padded,
-             fixed-size) candidate list densely as thin einsums on the VPU
-             and selects the K nearest threshold-passing hits with a masked
-             ``lax.top_k`` (the vectorized equivalent of the CUDA
-             insertion sort at ``ray_trace_voge.cu:197-213``).  Outputs are
-             ascending in hit length with invalid slots filled
-             (idx=-1, len=1e10, act=1e10, dsd=0), exactly like the kernel's
-             initializers (``ray_trace_voge.cu:244-247``).
+  - a fused Pallas kernel (:mod:`voge_tpu.ops.pallas_fine`) used on TPU:
+    per-bin (R, M) hit evaluation + K-pass nearest selection entirely in
+    VMEM;
+  - a pure-XLA fallback (CPU, tests, and shapes exceeding the kernel's VMEM
+    budget) computing the same math with ``lax.top_k``.
 
-  backward — flash-attention style: only (mus, isigmas, rays, sel_idx) are
-             saved; the three quadratic forms are *recomputed* per selected
-             (pixel, slot) and the closed-form chain rule of
-             ``ray_trace_voge.cu:324-330`` is applied:
+Both consume *component planes*: Gaussian parameters are decomposed into 13
+per-kernel feature vectors (A = Lambda^T mu, msm, the 9 entries of Lambda)
+and rays into 12 per-pixel features (direction + outer-product entries), so
+that every hot array keeps the large axis (candidates / rays) on the TPU
+lane dimension.  Arrays shaped (..., 3, 3) never appear in the hot path —
+batched tiny matmuls compile catastrophically on TPU.
 
-                 g_ksk = (g_a * msk - g_l) * msk / ksk^2 + g_d
-                 g_msk = (g_l - 2 g_a * msk) / ksk
-                 g_msm = g_a
+Backward is analytic (custom VJP), flash-attention style: only
+(mus, isigmas, rays, sel_idx) are saved; the quadratic forms are recomputed
+per selected (pixel, slot) and the closed-form chain rule of
+``ray_trace_voge.cu:324-330`` applies:
 
-             Per-Gaussian gradients are accumulated with deterministic
-             ``segment_sum`` instead of float atomics — bitwise-reproducible,
-             a determinism upgrade over the reference.
+    g_ksk = (g_a * msk - g_l) * msk / ksk^2 + g_d
+    g_msk = (g_l - 2 g_a * msk) / ksk
+    g_msm = g_a
+
+Per-Gaussian gradients accumulate with a deterministic ``segment_sum``
+(bitwise-reproducible; an upgrade over the reference's float atomics).
 
 The no-coarse path (``max_points_per_bin == -1``) uses a single bin covering
-the whole image with every Gaussian as candidate (the reference materializes
-an all-points index tensor per bin, ``RayTracing.py:22-26``; ours is the
-same computation without the redundant copies — and without the reference's
-square-grid indexing bug at ``RayTracing.py:25`` / ``ray_trace_voge.cu:185``,
-which only affected non-square bin grids it never ran with).
+the whole image with every Gaussian as candidate (cf. the reference's
+all-points index tensor, ``RayTracing.py:22-26``; without the square-grid
+indexing bug at ``RayTracing.py:25`` / ``ray_trace_voge.cu:185``).
 """
 from __future__ import annotations
 
@@ -43,34 +44,87 @@ import jax.numpy as jnp
 import numpy as np
 
 from voge_tpu.ops.coarse import coarse_bin_config, rasterize_coarse
+from voge_tpu.ops.pallas_fine import FEAT, fine_select_pallas, pick_ray_chunk
 
-_P = jax.lax.Precision.HIGHEST
 _SENTINEL_LEN = 1e10
 _SENTINEL_ACT = 1e10
 
+# Largest padded candidate count the Pallas kernel will take on (VMEM
+# budget); beyond this the XLA fallback runs.
+_PALLAS_MAX_M = 16384
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
 
 # ---------------------------------------------------------------------------
-# forward core
+# feature planes
 # ---------------------------------------------------------------------------
 
-def _bin_rays(rays: jax.Array, bsh: int, bsw: int) -> jax.Array:
-    """(B, H, W, 3) -> (B, BH, BW, bsh*bsw, 3), edge-padded."""
-    B, H, W, _ = rays.shape
-    BH = (H - 1) // bsh + 1
-    BW = (W - 1) // bsw + 1
-    rays_p = jnp.pad(
-        rays, ((0, 0), (0, BH * bsh - H), (0, BW * bsw - W), (0, 0)), mode="edge"
-    )
-    r = rays_p.reshape(B, BH, bsh, BW, bsw, 3)
-    return r.transpose(0, 1, 3, 2, 4, 5).reshape(B, BH, BW, bsh * bsw, 3)
+def _gauss_feature_cols(mus: jax.Array, isigmas: jax.Array):
+    """13 per-Gaussian feature vectors (each (P,)):
+    [A0, A1, A2, msm, L00, L01, L02, L10, L11, L12, L20, L21, L22]
+    with A = Lambda^T mu (so msk = mu^T Lambda r, gradient-parity with the
+    CUDA contraction order) and msm = mu^T Lambda mu."""
+    mu = [mus[:, d] for d in range(3)]
+    L = [[isigmas[:, i, j] for j in range(3)] for i in range(3)]
+    A = [
+        L[0][i] * mu[0] + L[1][i] * mu[1] + L[2][i] * mu[2] for i in range(3)
+    ]
+    msm = mu[0] * A[0] + mu[1] * A[1] + mu[2] * A[2]
+    return A + [msm] + [L[i][j] for i in range(3) for j in range(3)]
 
 
-def _unbin(x: jax.Array, H: int, W: int, bsh: int, bsw: int) -> jax.Array:
-    """(B, BH, BW, bsh*bsw, K) -> (B, H, W, K) (crop padding)."""
-    B, BH, BW, _, K = x.shape
+def _bin_plane(x: jax.Array, BH: int, BW: int, bsh: int, bsw: int) -> jax.Array:
+    """(B, Hp, Wp) -> (B*BH*BW, bsh*bsw)."""
+    B = x.shape[0]
+    x = x.reshape(B, BH, bsh, BW, bsw)
+    return x.transpose(0, 1, 3, 2, 4).reshape(B * BH * BW, bsh * bsw)
+
+
+def _unbin(x: jax.Array, B, BH, BW, H, W, bsh, bsw) -> jax.Array:
+    """(nb, R, K) -> (B, H, W, K)."""
+    K = x.shape[-1]
     x = x.reshape(B, BH, BW, bsh, bsw, K).transpose(0, 1, 3, 2, 4, 5)
-    x = x.reshape(B, BH * bsh, BW * bsw, K)
-    return x[:, :H, :W]
+    return x.reshape(B, BH * bsh, BW * bsw, K)[:, :H, :W]
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _xla_select(rays_feat, cand_feat, cand_idx, thr_act: float, K: int):
+    """Pure-XLA selection over planes (CPU / fallback path); same math and
+    tie-breaking as the Pallas kernel (top_k and argmin-extraction both
+    prefer the lowest candidate position on ties)."""
+    rf = rays_feat            # (nb, R_pad, 16)
+    cf = cand_feat            # (nb, 16, M_pad)
+    idx = cand_idx[:, 0, :]   # (nb, M_pad)
+    msk = jnp.einsum("brd,bdm->brm", rf[:, :, 0:3], cf[:, 0:3, :],
+                     precision=jax.lax.Precision.HIGHEST)
+    ksk = jnp.einsum("brq,bqm->brm", rf[:, :, 3:12], cf[:, 4:13, :],
+                     precision=jax.lax.Precision.HIGHEST)
+    msm = cf[:, 3, :][:, None, :]
+    length = msk / ksk
+    act = msm - msk * msk / ksk
+    ok = (act < thr_act) & (idx[:, None, :] >= 0)
+    lm = jnp.where(ok, length, _SENTINEL_LEN)
+    kk = min(K, lm.shape[-1])
+    neg_vals, args = jax.lax.top_k(-lm, kk)
+    sel_ok = jnp.take_along_axis(ok, args, axis=-1)
+    cand_b = jnp.broadcast_to(idx[:, None, :], ok.shape)
+    sel_idx = jnp.where(sel_ok, jnp.take_along_axis(cand_b, args, axis=-1), -1)
+    sel_len = jnp.where(sel_ok, -neg_vals, _SENTINEL_LEN)
+    sel_act = jnp.where(sel_ok, jnp.take_along_axis(act, args, -1), _SENTINEL_ACT)
+    sel_dsd = jnp.where(sel_ok, jnp.take_along_axis(ksk, args, -1), 0.0)
+    if kk < K:
+        pad = ((0, 0), (0, 0), (0, K - kk))
+        sel_idx = jnp.pad(sel_idx, pad, constant_values=-1)
+        sel_len = jnp.pad(sel_len, pad, constant_values=_SENTINEL_LEN)
+        sel_act = jnp.pad(sel_act, pad, constant_values=_SENTINEL_ACT)
+        sel_dsd = jnp.pad(sel_dsd, pad, constant_values=0.0)
+    return sel_idx.astype(jnp.int32), sel_len, sel_act, sel_dsd
 
 
 def _fine_forward(
@@ -85,55 +139,56 @@ def _fine_forward(
     B, H, W, _ = rays.shape
     _, BH, BW, M = bin_points.shape
     bsh, bsw = bin_size
+    nb = B * BH * BW
+    R = bsh * bsw
+    R_pad = _ceil_to(R, 8)
+    M_pad = _ceil_to(M, 128)
 
-    r_b = _bin_rays(rays, bsh, bsw)  # (B,BH,BW,R,3)
+    # ---- candidate feature planes -------------------------------------
+    bp = bin_points.reshape(nb, M)
+    if M_pad > M:
+        bp = jnp.pad(bp, ((0, 0), (0, M_pad - M)), constant_values=-1)
+    valid = bp >= 0
+    idxc = jnp.where(valid, bp, 0)
+    cols = _gauss_feature_cols(mus, isigmas)
+    gathered = [c[idxc] for c in cols]                       # 13 x (nb, M_pad)
+    zeros = jnp.zeros_like(gathered[0])
+    cand_feat = jnp.stack(gathered + [zeros] * (FEAT - 13), axis=1)
+    cand_idx = bp[:, None, :]
 
-    valid = bin_points >= 0
-    idxc = jnp.where(valid, bin_points, 0)
-    mu_c = mus[idxc]        # (B,BH,BW,M,3)
-    is_c = isigmas[idxc]    # (B,BH,BW,M,3,3)
+    # ---- ray feature planes --------------------------------------------
+    Hp, Wp = BH * bsh, BW * bsw
+    r_planes = []
+    for d in range(3):
+        x = rays[..., d]
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W)))
+        r_planes.append(_bin_plane(x, BH, BW, bsh, bsw))      # (nb, R)
+    feats = list(r_planes)
+    for i in range(3):
+        for j in range(3):
+            feats.append(r_planes[i] * r_planes[j])
+    zcol = jnp.zeros_like(feats[0])
+    rays_feat = jnp.stack(feats + [zcol] * (FEAT - 12), axis=-1)  # (nb, R, 16)
+    if R_pad > R:
+        rays_feat = jnp.pad(rays_feat, ((0, 0), (0, R_pad - R), (0, 0)))
 
-    # quadratic forms (thin einsums; f32 HIGHEST so MXU doesn't downcast).
-    # A = Lambda^T mu: contraction order matches the CUDA reference's
-    # mu^T Lambda r (relevant only for asymmetric Lambda).
-    A = jnp.einsum("...mji,...mj->...mi", is_c, mu_c, precision=_P)
-    msm = jnp.einsum("...mi,...mi->...m", mu_c, A, precision=_P)
-    msk = jnp.einsum("...rd,...md->...rm", r_b, A, precision=_P)
-    rr9 = (r_b[..., :, :, None] * r_b[..., :, None, :]).reshape(
-        r_b.shape[:-1] + (9,)
+    # ---- selection -------------------------------------------------------
+    use_pallas = (
+        jax.default_backend() == "tpu" and M_pad <= _PALLAS_MAX_M
     )
-    is9 = is_c.reshape(is_c.shape[:-2] + (9,))
-    ksk = jnp.einsum("...rq,...mq->...rm", rr9, is9, precision=_P)
+    if use_pallas:
+        rc = pick_ray_chunk(R_pad, M_pad)
+        sel = fine_select_pallas(
+            rays_feat, cand_feat, cand_idx, thr_act, K, ray_chunk=rc
+        )
+    else:
+        sel = _xla_select(rays_feat, cand_feat, cand_idx, thr_act, K)
 
-    hit_len = msk / ksk
-    hit_act = msm[..., None, :] - msk * msk / ksk
-
-    ok = valid[..., None, :] & (hit_act < thr_act)   # (B,BH,BW,R,M)
-    len_masked = jnp.where(ok, hit_len, _SENTINEL_LEN)
-
-    kk = min(K, M)
-    neg_vals, args = jax.lax.top_k(-len_masked, kk)
-    sel_ok = jnp.take_along_axis(ok, args, axis=-1)
-    cand = jnp.broadcast_to(bin_points[:, :, :, None, :], ok.shape)
-    sel_idx = jnp.where(sel_ok, jnp.take_along_axis(cand, args, axis=-1), -1)
-    sel_len = jnp.where(sel_ok, -neg_vals, _SENTINEL_LEN)
-    sel_act = jnp.where(
-        sel_ok, jnp.take_along_axis(hit_act, args, axis=-1), _SENTINEL_ACT
-    )
-    sel_dsd = jnp.where(sel_ok, jnp.take_along_axis(ksk, args, axis=-1), 0.0)
-
-    if kk < K:  # pad slot axis to K
-        pad = ((0, 0),) * 4 + ((0, K - kk),)
-        sel_idx = jnp.pad(sel_idx, pad, constant_values=-1)
-        sel_len = jnp.pad(sel_len, pad, constant_values=_SENTINEL_LEN)
-        sel_act = jnp.pad(sel_act, pad, constant_values=_SENTINEL_ACT)
-        sel_dsd = jnp.pad(sel_dsd, pad, constant_values=0.0)
-
-    sel_idx = _unbin(sel_idx.astype(jnp.int32), H, W, bsh, bsw)
-    sel_len = _unbin(sel_len, H, W, bsh, bsw)
-    sel_act = _unbin(sel_act, H, W, bsh, bsw)
-    sel_dsd = _unbin(sel_dsd, H, W, bsh, bsw)
-    return sel_idx, sel_len, sel_act, sel_dsd
+    out = []
+    for x in sel:
+        x = x[:, :R, :]
+        out.append(_unbin(x, B, BH, BW, H, W, bsh, bsw))
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -147,8 +202,7 @@ def _ray_trace_fine(mus, isigmas, rays, bin_points, thr_act, bin_size, K):
 
 def _ray_trace_fine_fwd(mus, isigmas, rays, bin_points, thr_act, bin_size, K):
     out = _fine_forward(mus, isigmas, rays, bin_points, thr_act, bin_size, K)
-    sel_idx = out[0]
-    return out, (mus, isigmas, rays, sel_idx, bin_points)
+    return out, (mus, isigmas, rays, out[0], bin_points)
 
 
 def _ray_trace_fine_bwd(thr_act, bin_size, K, res, g):
@@ -160,44 +214,54 @@ def _ray_trace_fine_bwd(thr_act, bin_size, K, res, g):
     idx = sel_idx.reshape(-1)
     valid = idx >= 0
     idxc = jnp.where(valid, idx, 0)
-    mu = mus[idxc]          # (E,3)
-    isg = isigmas[idxc]     # (E,3,3)
-    ray = jnp.broadcast_to(
-        rays.reshape(B * H * W, 1, 3), (B * H * W, Kk, 3)
-    ).reshape(-1, 3)
+
+    # planes: gathered Gaussian components and per-entry ray components
+    mu = [mus[:, d][idxc] for d in range(3)]                  # 3 x (E,)
+    L = [[isigmas[:, i, j][idxc] for j in range(3)] for i in range(3)]
+    r_pix = [rays[..., d].reshape(-1) for d in range(3)]      # (B*H*W,)
+    r = [
+        jnp.broadcast_to(x[:, None], (x.shape[0], Kk)).reshape(-1)
+        for x in r_pix
+    ]                                                          # 3 x (E,)
+
+    lam_r = [sum(L[i][j] * r[j] for j in range(3)) for i in range(3)]
+    lamT_r = [sum(L[j][i] * r[j] for j in range(3)) for i in range(3)]
+    lam_mu = [sum(L[i][j] * mu[j] for j in range(3)) for i in range(3)]
+    lamT_mu = [sum(L[j][i] * mu[j] for j in range(3)) for i in range(3)]
+
+    ksk = sum(r[i] * lam_r[i] for i in range(3))
+    msk = sum(mu[i] * lam_r[i] for i in range(3))
+    ksk = jnp.where(valid, ksk, 1.0)
 
     vf = valid.astype(mus.dtype)
     gl = g_len.reshape(-1) * vf
     ga = g_act.reshape(-1) * vf
     gd = g_dsd.reshape(-1) * vf
 
-    lam_r = jnp.einsum("eij,ej->ei", isg, ray, precision=_P)    # Lambda r
-    lamT_r = jnp.einsum("eji,ej->ei", isg, ray, precision=_P)   # Lambda^T r
-    lam_mu = jnp.einsum("eij,ej->ei", isg, mu, precision=_P)    # Lambda mu
-    lamT_mu = jnp.einsum("eji,ej->ei", isg, mu, precision=_P)   # Lambda^T mu
-
-    ksk = jnp.einsum("ei,ei->e", ray, lam_r, precision=_P)
-    msk = jnp.einsum("ei,ei->e", mu, lam_r, precision=_P)
-    ksk_safe = jnp.where(valid, ksk, 1.0)
-
     # closed-form chain rule (ray_trace_voge.cu:324-326)
-    g_ksk = (ga * msk - gl) * msk / (ksk_safe * ksk_safe) + gd
-    g_msk = (gl - 2.0 * ga * msk) / ksk_safe
+    g_ksk = (ga * msk - gl) * msk / (ksk * ksk) + gd
+    g_msk = (gl - 2.0 * ga * msk) / ksk
     g_msm = ga
 
-    g_mu = g_msk[:, None] * lam_r + g_msm[:, None] * (lam_mu + lamT_mu)
-    g_ray = g_ksk[:, None] * (lam_r + lamT_r) + g_msk[:, None] * lamT_mu
-    g_isg = (
-        g_ksk[:, None, None] * (ray[:, :, None] * ray[:, None, :])
-        + g_msk[:, None, None] * (mu[:, :, None] * ray[:, None, :])
-        + g_msm[:, None, None] * (mu[:, :, None] * mu[:, None, :])
-    )
+    g_mu = [
+        g_msk * lam_r[i] + g_msm * (lam_mu[i] + lamT_mu[i]) for i in range(3)
+    ]
+    g_ray = [
+        g_ksk * (lam_r[i] + lamT_r[i]) + g_msk * lamT_mu[i] for i in range(3)
+    ]
+    g_L = [
+        g_ksk * r[i] * r[j] + g_msk * mu[i] * r[j] + g_msm * mu[i] * mu[j]
+        for i in range(3)
+        for j in range(3)
+    ]
 
-    grad_rays = g_ray.reshape(B, H, W, Kk, 3).sum(axis=3)
-    grad_mus = jax.ops.segment_sum(g_mu, idxc, num_segments=P)
-    grad_isg = jax.ops.segment_sum(
-        g_isg.reshape(-1, 9), idxc, num_segments=P
-    ).reshape(P, 3, 3)
+    grad_rays = jnp.stack(
+        [x.reshape(B, H, W, Kk).sum(axis=3) for x in g_ray], axis=-1
+    )
+    packed = jnp.stack(g_mu + g_L, axis=-1)                    # (E, 12)
+    summed = jax.ops.segment_sum(packed, idxc, num_segments=P)  # (P, 12)
+    grad_mus = summed[:, 0:3]
+    grad_isg = summed[:, 3:12].reshape(P, 3, 3)
 
     g_bin = np.zeros(bin_points.shape, dtype=jax.dtypes.float0)
     return grad_mus, grad_isg, grad_rays, g_bin

@@ -1,0 +1,153 @@
+"""Fused Pallas TPU kernel for the fine ray-tracing stage.
+
+Replaces the reference's hot CUDA kernel (``ray_trace_voge.cu:135-217``)
+with a tile-resident design: for each bin (pixel tile), the kernel
+
+  1. evaluates the three quadratic forms for every (ray, candidate) pair as
+     pure VPU broadcast FMAs over a (R, M) block held in VMEM — candidate
+     parameters arrive as *component planes* (a (16, M) feature block), ray
+     features as a (R, 16) block, so no tiny-trailing-dim arrays ever touch
+     the lane axis;
+  2. selects the K nearest threshold-passing hits with K argmin-extraction
+     passes over the (R, M) length block (the vectorized equivalent of the
+     CUDA per-pixel insertion sort), emitting ascending hit lengths with the
+     reference's fill values (idx=-1, len=1e10, act=1e10, dsd=0).
+
+Nothing of size (R, M) is ever written to HBM: HBM traffic is candidates in,
+(R, K) selections out.
+
+Feature packing (see :mod:`voge_tpu.ops.fine` for the producers):
+
+  ray features   rf[r, :]  = [r0, r1, r2, rr00, rr01, ..., rr22, 0, ...]
+  cand features  cf[:, m]  = [A0, A1, A2, msm, L00, L01, ..., L22, 0, ...]
+
+with A = Lambda^T mu (so msk = mu^T Lambda r), msm = mu^T Lambda mu, and
+L the rows of Lambda; then
+
+  msk = sum_d rf[:, d]   * cf[d]          (3 FMAs)
+  ksk = sum_q rf[:, 3+q] * cf[4+q]        (9 FMAs)
+  len = msk / ksk;  act = msm - msk^2 / ksk;  dsd = ksk.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FEAT = 16
+_SENTINEL = 1e10
+
+
+def _kernel(rf_ref, cf_ref, ci_ref, oi_ref, ol_ref, oa_ref, od_ref, *,
+            thr_act: float, K: int):
+    rf = rf_ref[0]              # (R, 16) f32
+    cf = cf_ref[0]              # (16, M) f32
+    idx = ci_ref[0]             # (1, M) i32
+    R, M = rf.shape[0], cf.shape[1]
+
+    msk = (
+        rf[:, 0:1] * cf[0:1, :]
+        + rf[:, 1:2] * cf[1:2, :]
+        + rf[:, 2:3] * cf[2:3, :]
+    )
+    ksk = rf[:, 3:4] * cf[4:5, :]
+    for q in range(1, 9):
+        ksk = ksk + rf[:, 3 + q : 4 + q] * cf[4 + q : 5 + q, :]
+
+    length = msk / ksk
+    act = cf[3:4, :] - msk * msk / ksk
+    ok = (act < thr_act) & (idx >= 0)
+    lm = jnp.where(ok, length, _SENTINEL)
+
+    idx_b = jnp.broadcast_to(idx, (R, M))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1)
+
+    out_i, out_l, out_a, out_d = [], [], [], []
+    for _ in range(K):
+        lmin = jnp.min(lm, axis=1, keepdims=True)            # (R, 1)
+        am = jnp.argmin(lm, axis=1)                           # (R,)
+        oh = lane == am[:, None]                              # (R, M)
+        valid = lmin < _SENTINEL
+        a_sel = jnp.sum(jnp.where(oh, act, 0.0), axis=1, keepdims=True)
+        d_sel = jnp.sum(jnp.where(oh, ksk, 0.0), axis=1, keepdims=True)
+        i_sel = jnp.sum(jnp.where(oh, idx_b, 0), axis=1, keepdims=True)
+        out_l.append(jnp.where(valid, lmin, _SENTINEL))
+        out_a.append(jnp.where(valid, a_sel, _SENTINEL))
+        out_d.append(jnp.where(valid, d_sel, 0.0))
+        out_i.append(jnp.where(valid, i_sel, -1))
+        lm = jnp.where(oh, _SENTINEL, lm)
+
+    oi_ref[0] = jnp.concatenate(out_i, axis=1)
+    ol_ref[0] = jnp.concatenate(out_l, axis=1)
+    oa_ref[0] = jnp.concatenate(out_a, axis=1)
+    od_ref[0] = jnp.concatenate(out_d, axis=1)
+
+
+def fine_select_pallas(
+    rays_feat: jax.Array,   # (nb, R_pad, 16) f32
+    cand_feat: jax.Array,   # (nb, 16, M_pad) f32
+    cand_idx: jax.Array,    # (nb, 1, M_pad) i32 (-1 padded)
+    thr_act: float,
+    K: int,
+    ray_chunk: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Run the fused selection kernel.
+
+    ``ray_chunk`` splits the ray axis so (ray_chunk x M_pad) blocks fit in
+    VMEM (candidate blocks stay resident across chunks of the same bin).
+
+    :return: (sel_idx, sel_len, sel_act, sel_dsd), each (nb, R_pad, K)
+    """
+    nb, R_pad, _ = rays_feat.shape
+    M_pad = cand_feat.shape[2]
+    assert R_pad % ray_chunk == 0
+    n_r = R_pad // ray_chunk
+
+    grid = (nb, n_r)
+    kernel = functools.partial(_kernel, thr_act=float(thr_act), K=int(K))
+    out_shapes = [
+        jax.ShapeDtypeStruct((nb, R_pad, K), jnp.int32),
+        jax.ShapeDtypeStruct((nb, R_pad, K), jnp.float32),
+        jax.ShapeDtypeStruct((nb, R_pad, K), jnp.float32),
+        jax.ShapeDtypeStruct((nb, R_pad, K), jnp.float32),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, ray_chunk, K), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM
+    )
+    flops_sel = nb * R_pad * M_pad * (15 + 6 * K)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ray_chunk, FEAT), lambda b, r: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FEAT, M_pad), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, M_pad), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_sel, bytes_accessed=nb * M_pad * 17 * 4, transcendentals=0
+        ),
+        interpret=interpret,
+    )(rays_feat, cand_feat, cand_idx)
+
+
+def pick_ray_chunk(R_pad: int, M_pad: int, budget_bytes: int = 6 * 2**20) -> int:
+    """Largest ray chunk (multiple of 8, divides R_pad) such that the
+    (chunk, M_pad) f32 working set stays within ~budget."""
+    max_rows = max(8, budget_bytes // (5 * 4 * M_pad) // 8 * 8)
+    c = min(R_pad, max_rows)
+    while R_pad % c != 0:
+        c -= 8
+    return max(c, 8)

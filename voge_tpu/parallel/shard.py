@@ -117,7 +117,9 @@ def render_pipeline_sharded(
         verts_t = verts_l[None] - origins[:, None, :]
         verts_t = jnp.broadcast_to(verts_t, (B_l, N_l, 3))
         sig = jnp.broadcast_to(sigmas_l[None], (B_l, N_l, 3, 3))
-        isig = 2.0 * jnp.linalg.inv(sig) if inverse_sigma else 2.0 * sig
+        from voge_tpu.utils import inv3x3
+
+        isig = 2.0 * inv3x3(sig) if inverse_sigma else 2.0 * sig
         sel_idx, sel_len, sel_act, sel_dsd = ray_tracing(
             (R_l, T_l, f_l, p_l), verts_t, isig, rays, image_size,
             thr=thr_activation, n_assign=max_assign,
@@ -152,7 +154,7 @@ def render_pipeline_sharded(
         local_render,
         mesh=mesh,
         in_specs=(
-            model_spec if True else P(),
+            model_spec,
             model_spec33,
             P(data_axis), P(data_axis), P(data_axis), P(data_axis),
         ),

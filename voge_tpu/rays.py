@@ -55,8 +55,10 @@ def camera_rays(
     :param focal: (B, 2), :param principal: (B, 2) in pixels
     :return: (rays (B, H, W, 3) unit world dirs, origins (B, 3))
     """
+    from voge_tpu.utils import inv3x3
+
     d_view = pixel_dirs_view(image_size, focal, principal, dtype=R.dtype)
-    Rinv = jnp.linalg.inv(R)
+    Rinv = inv3x3(R)
     d_world = jnp.einsum("bhwj,bji->bhwi", d_view, Rinv,
                          precision=jax.lax.Precision.HIGHEST)
     d_world = d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True)

@@ -181,7 +181,9 @@ def render_pipeline(
         sigmas = jnp.broadcast_to(sigmas[None], (verts_transformed.shape[0],) + sigmas.shape)
 
     if inverse_sigma:
-        isigma = 2.0 * jnp.linalg.inv(sigmas)
+        from voge_tpu.utils import inv3x3
+
+        isigma = 2.0 * inv3x3(sigmas)
     else:
         isigma = 2.0 * sigmas
 

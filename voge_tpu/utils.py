@@ -95,6 +95,32 @@ def _put_along_axis(target, ind, src, dim):
     return target.at[tuple(idx)].set(src)
 
 
+def inv3x3(m: jax.Array) -> jax.Array:
+    """Closed-form (adjugate) inverse of (..., 3, 3) matrices.
+
+    Used instead of ``jnp.linalg.inv`` because batched tiny-matrix LAPACK
+    lowerings compile and run pathologically on TPU; this is pure
+    elementwise math on the 9 component planes.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    rows = jnp.stack(
+        [A, D, G, B, E, H, C, F, I], axis=-1
+    ) / det[..., None]
+    return rows.reshape(m.shape)
+
+
 def inverse_cumsum(x: jax.Array, dim: int) -> jax.Array:
     """x + sum(x) - cumsum(x) along ``dim`` (reference ``Aggregation.py:7``)."""
     return x + jnp.sum(x, axis=dim, keepdims=True) - jnp.cumsum(x, axis=dim)
