@@ -4,15 +4,20 @@ driver-defined headline metric, BASELINE.json) on the attached TPU chip.
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
 
+Timing protocol: on this TPU attachment ``block_until_ready`` can return
+before execution finishes and host readbacks carry polling latency, so we
+dispatch N in-order executions with *distinct* inputs, force one host
+readback of the last output, and difference two run lengths:
+``exec = (t(n2) - t(n1)) / (n2 - n1)`` (see voge_tpu/timing.py).
+
 ``vs_baseline`` is measured against an *estimated* CUDA-on-A100 figure for
 the reference implementation at the same workload (the reference publishes
 no numbers — BASELINE.md).  Estimate: the reference fine kernel walks ~1000
 binned candidates per pixel with a global-memory insertion sort
-(ray_trace_voge.cu:197-213, 65536 one-thread-per-pixel), plus a pure-torch
-K^2 erf aggregation and its autograd backward; comparable published
-renderers and the kernel's arithmetic/memory profile put the full fwd+bwd
-step at ~10-30 ms on A100 => we use 50 fps as a *generous* A100 baseline
-for the 10K-Gaussian config.
+(ray_trace_voge.cu:197-213, one thread per pixel), plus a pure-torch K^2
+erf aggregation and its autograd backward; the kernel's arithmetic/memory
+profile puts the full fwd+bwd step at ~10-30 ms on A100 => we use 50 fps as
+a *generous* A100 baseline for the 10K-Gaussian config.
 """
 import json
 import time
@@ -22,7 +27,7 @@ import numpy as np
 A100_BASELINE_FPS_10K = 50.0
 
 
-def build_case(n_gauss: int, image_size=(256, 256), max_assign=20):
+def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +40,6 @@ def build_case(n_gauss: int, image_size=(256, 256), max_assign=20):
     )
     verts = jnp.asarray(g.verts)
     sigmas = jnp.asarray(g.sigmas)
-    n = verts.shape[0]
     colors = jnp.asarray((np.asarray(g.verts) + 1) / 3)
     R, T = look_at_view_transform(dist=6, elev=10, azim=70)
     focal = jnp.asarray([[300.0, 300.0]])
@@ -52,39 +56,21 @@ def build_case(n_gauss: int, image_size=(256, 256), max_assign=20):
         return jnp.mean((img - target) ** 2) + jnp.mean(sil ** 2)
 
     fwd_bwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
-
-    def fwd_only(verts, sigmas, colors):
-        frag = render_pipeline(
-            verts, sigmas, R, T, focal, principal,
-            image_size=tuple(image_size), max_assign=max_assign,
-        )
-        return interpolate_attr(frag, colors)
-
-    fwd_only = jax.jit(fwd_only)
-    return fwd_bwd, fwd_only, (verts, sigmas, colors), n
-
-
-def time_fn(fn, args, iters=20, warmup=3):
-    import jax
-
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    args_list = [
+        (verts * (1.0 + 1e-4 * i), sigmas, colors) for i in range(8)
+    ]
+    return fwd_bwd, args_list, verts.shape[0]
 
 
 def main():
+    from voge_tpu.timing import measure
+
     results = {}
     for n_gauss, key in ((1000, "1k"), (10000, "10k")):
-        fwd_bwd, fwd_only, args, n_actual = build_case(n_gauss)
-        t_fb = time_fn(fwd_bwd, args)
-        t_f = time_fn(fwd_only, args)
-        results[f"fwdbwd_fps_{key}"] = 1.0 / t_fb
-        results[f"fwd_fps_{key}"] = 1.0 / t_f
+        fn, args_list, n_actual = build_fwdbwd(n_gauss)
+        t = measure(fn, args_list, n1=4, n2=20)
+        results[f"fwdbwd_fps_{key}"] = 1.0 / t
+        results[f"fwdbwd_ms_{key}"] = t * 1000
         results[f"n_gauss_{key}"] = n_actual
 
     with open("BENCH_DETAILS.json", "w") as f:
