@@ -82,17 +82,18 @@ def test_projection_ray_roundtrip():
 
 
 def test_ray_grid_matches_half_pixel_convention():
-    """Pixel (0,0) ray direction in view space is ((0.5-px)/fx, (0.5-py)/fy, 1)."""
+    """Pixel (0,0) ray direction in view space is ((px-0.5)/fx, (py-0.5)/fy, 1)
+    (mirrored screen convention)."""
     H = W = 4
     focal = jnp.asarray([[10.0, 20.0]])
     principal = jnp.asarray([[2.0, 1.0]])
     d = raysmod.pixel_dirs_view((H, W), focal, principal)
     np.testing.assert_allclose(
-        np.asarray(d[0, 0, 0]), [(0.5 - 2.0) / 10.0, (0.5 - 1.0) / 20.0, 1.0],
+        np.asarray(d[0, 0, 0]), [(2.0 - 0.5) / 10.0, (1.0 - 0.5) / 20.0, 1.0],
         atol=1e-7,
     )
     np.testing.assert_allclose(
-        np.asarray(d[0, 3, 2]), [(2.5 - 2.0) / 10.0, (3.5 - 1.0) / 20.0, 1.0],
+        np.asarray(d[0, 3, 2]), [(2.0 - 2.5) / 10.0, (1.0 - 3.5) / 20.0, 1.0],
         atol=1e-7,
     )
 

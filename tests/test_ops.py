@@ -129,8 +129,8 @@ def test_coarse_bins_match_reference_ndc_oracle(rng):
     s = min(H, W)
     fx, fy = float(focal[0, 0]), float(focal[0, 1])
     px, py = float(principal[0, 0]), float(principal[0, 1])
-    xs = fx * view[..., 0] / z_view + px
-    ys = fy * view[..., 1] / z_view + py
+    xs = px - fx * view[..., 0] / z_view  # mirrored screen convention
+    ys = py - fy * view[..., 1] / z_view
     x_ndc = (2 * xs - W) / s  # negated-pytorch3d convention
     y_ndc = (2 * ys - H) / s
     isig_cam = np.einsum("bji,bpjk,bkl->bpil", Rn, np.asarray(isig_b), Rn)

@@ -117,8 +117,8 @@ def test_batched_render_matches_single(quickstart):
 def test_gradients_flow_and_are_finite(quickstart):
     gaussians, _, _, (R, T) = quickstart
     colors = jnp.asarray((np.asarray(gaussians.verts) + 1) / 3)
-    focal = jnp.asarray([[300.0, 300.0]])
-    principal = jnp.asarray([[128.0, 128.0]])
+    focal = jnp.asarray([[75.0, 75.0]])
+    principal = jnp.asarray([[32.0, 32.0]])
 
     def loss_fn(verts, sigmas):
         frag = render_pipeline(

@@ -224,7 +224,7 @@ def view_to_screen(points_view: jax.Array, focal: jax.Array, principal: jax.Arra
     centers sit at (j + 0.5, i + 0.5).
     """
     z = points_view[..., 2:3]
-    xy = points_view[..., 0:2] * focal[:, None, :] / z + principal[:, None, :]
+    xy = principal[:, None, :] - points_view[..., 0:2] * focal[:, None, :] / z
     return jnp.concatenate([xy, z], axis=-1)
 
 

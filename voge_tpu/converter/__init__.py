@@ -4,6 +4,7 @@ OFF/COFF/GOFF file formats (reference ``VoGE/Converter/``)."""
 from voge_tpu.converter import converters as Converters
 from voge_tpu.converter import cuboid as Cuboid
 from voge_tpu.converter import io as IO
+from voge_tpu.converter import shapes
 
 from voge_tpu.converter.converters import (
     naive_vertices_converter,
@@ -14,6 +15,7 @@ from voge_tpu.converter.converters import (
     ComposedConverter,
 )
 from voge_tpu.converter.cuboid import cuboid_gauss, cuboid_mesh
+from voge_tpu.converter.shapes import ico_sphere, load_obj, vertex_normals
 from voge_tpu.converter.io import (
     load_off,
     save_off,

@@ -70,8 +70,9 @@ def _camera_planes(R, T, focal, principal, points):
         sum(p[j] * R[:, j, d][:, None] for j in range(3)) for d in range(3)
     ]
     z = view[2]
-    u = view[0] * focal[:, 0:1] / z + principal[:, 0:1]
-    v = view[1] * focal[:, 1:2] / z + principal[:, 1:2]
+    # mirrored screen convention: u = px - fx x_v/z (see voge_tpu/rays.py)
+    u = principal[:, 0:1] - view[0] * focal[:, 0:1] / z
+    v = principal[:, 1:2] - view[1] * focal[:, 1:2] / z
     return u, v, z
 
 

@@ -36,8 +36,12 @@ def pixel_dirs_view(
     H, W = int(image_size[0]), int(image_size[1])
     jj = jnp.arange(W, dtype=dtype) + 0.5  # pixel-center columns
     ii = jnp.arange(H, dtype=dtype) + 0.5  # pixel-center rows
-    x = (jj[None, None, :] - principal[:, 0][:, None, None]) / focal[:, 0][:, None, None]
-    y = (ii[None, :, None] - principal[:, 1][:, None, None]) / focal[:, 1][:, None, None]
+    # Screen-space cameras mirror both axes: x_screen = px - fx * x_view/z
+    # (PyTorch3D composes x_ndc = fx_ndc x/z + px_ndc, NDC +x LEFT, with the
+    # NDC->screen flip; cf. the reference's own camera-space helper
+    # Aggregation.py:25 which uses the same negated form).
+    x = (principal[:, 0][:, None, None] - jj[None, None, :]) / focal[:, 0][:, None, None]
+    y = (principal[:, 1][:, None, None] - ii[None, :, None]) / focal[:, 1][:, None, None]
     x = jnp.broadcast_to(x, (x.shape[0], H, W))
     y = jnp.broadcast_to(y, (y.shape[0], H, W))
     z = jnp.ones_like(x)
