@@ -48,6 +48,12 @@ def get_vert_edge_length(verts: np.ndarray, faces: np.ndarray, default_l: float 
     n = verts.shape[0]
     if faces.size == 0:
         return np.ones(n) * default_l
+    from voge_tpu import native
+
+    if native.available():
+        got = native.vert_edge_length(verts, faces, default_l)
+        if got is not None:
+            return got.astype(np.float64)
     # reference: for each face f, each v in f records all of f's vertices
     # (including v itself); neighbors are then np.unique of those.
     k = faces.shape[1]
@@ -152,6 +158,15 @@ def naive_point_cloud_converter(points, percentage: float = 0.5, n_nearest: int 
     points, _ = _to_numpy(points)
     points = points.astype(np.float32)
     n = points.shape[0]
+    from voge_tpu import native
+
+    if native.available():
+        average_len = native.knn_mean_dist(points, n_nearest, thr_max)
+        if average_len is not None:
+            sigma = (average_len.astype(np.float64) ** 2) / (
+                4 * np.log(1 / percentage)
+            ) + 1e-8
+            return points, (1 / sigma).astype(np.float32), None
     chunk = max(1, int(1e9 / max(n, 1))) if n > 1e5 else n
     sigmas = np.empty(n, dtype=np.float64)
     for s in range(0, n, chunk):

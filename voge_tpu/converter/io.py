@@ -24,6 +24,12 @@ def _parse_floats(lines) -> np.ndarray:
 
 
 def _fromtext(text: str, dtype) -> np.ndarray:
+    if dtype is np.float32 or dtype == np.float32:
+        from voge_tpu import native
+
+        if native.available():
+            # generous bound: every other byte could start a number
+            return native.parse_floats(text, len(text) // 2 + 2)
     return np.array(text.split(), dtype=dtype)
 
 
