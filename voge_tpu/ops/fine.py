@@ -46,6 +46,7 @@ import numpy as np
 from voge_tpu.ops.coarse import coarse_bin_config, rasterize_coarse
 from voge_tpu.ops.pallas_fine import FEAT, fine_select_pallas, pick_ray_chunk
 
+_P = jax.lax.Precision.HIGHEST
 _SENTINEL_LEN = 1e10
 _SENTINEL_ACT = 1e10
 
@@ -271,6 +272,162 @@ _ray_trace_fine.defvjp(_ray_trace_fine_fwd, _ray_trace_fine_bwd)
 
 
 # ---------------------------------------------------------------------------
+# mask path (production): no candidate gather, no list compaction
+# ---------------------------------------------------------------------------
+
+def _gauss_feature_planes_batched(mus: jax.Array, isigmas: jax.Array):
+    """(B, P, 3)/(B, P, 3, 3) -> (B, FEAT, P) feature planes."""
+    mu = [mus[..., d] for d in range(3)]                      # (B, P)
+    L = [[isigmas[..., i, j] for j in range(3)] for i in range(3)]
+    A = [L[0][i] * mu[0] + L[1][i] * mu[1] + L[2][i] * mu[2] for i in range(3)]
+    msm = mu[0] * A[0] + mu[1] * A[1] + mu[2] * A[2]
+    cols = A + [msm] + [L[i][j] for i in range(3) for j in range(3)]
+    zeros = jnp.zeros_like(msm)
+    return jnp.stack(cols + [zeros] * (FEAT - 13), axis=1)     # (B, 16, P)
+
+
+def _rays_features(rays: jax.Array, BH, BW, bsh, bsw):
+    """(B, H, W, 3) -> (nb, R_pad, FEAT); returns (rays_feat, R, R_pad)."""
+    B, H, W, _ = rays.shape
+    Hp, Wp = BH * bsh, BW * bsw
+    R = bsh * bsw
+    R_pad = _ceil_to(R, 8)
+    r_planes = []
+    for d in range(3):
+        x = jnp.pad(rays[..., d], ((0, 0), (0, Hp - H), (0, Wp - W)))
+        r_planes.append(_bin_plane(x, BH, BW, bsh, bsw))
+    feats = list(r_planes)
+    for i in range(3):
+        for j in range(3):
+            feats.append(r_planes[i] * r_planes[j])
+    zcol = jnp.zeros_like(feats[0])
+    rays_feat = jnp.stack(feats + [zcol] * (FEAT - 12), axis=-1)
+    if R_pad > R:
+        rays_feat = jnp.pad(rays_feat, ((0, 0), (0, R_pad - R), (0, 0)))
+    return rays_feat, R, R_pad
+
+
+def _xla_select_mask(rays_feat, gauss_feat, mask, thr_act: float, K: int,
+                     bh_bw: int, n_gauss: int):
+    """XLA fallback for the mask path (CPU / oversize shapes)."""
+    nb, R_pad, _ = rays_feat.shape
+    B, _, P_pad = gauss_feat.shape
+    gf = jnp.repeat(gauss_feat, bh_bw, axis=0)                 # (nb, 16, P_pad)
+    msk = jnp.einsum("brd,bdm->brm", rays_feat[:, :, 0:3], gf[:, 0:3, :],
+                     precision=_P)
+    ksk = jnp.einsum("brq,bqm->brm", rays_feat[:, :, 3:12], gf[:, 4:13, :],
+                     precision=_P)
+    msm = gf[:, 3, :][:, None, :]
+    length = msk / ksk
+    act = msm - msk * msk / ksk
+    ok = (act < thr_act) & (mask[:, None, :] > 0)
+    lm = jnp.where(ok, length, _SENTINEL_LEN)
+    kk = min(K, P_pad)
+    neg_vals, args = jax.lax.top_k(-lm, kk)
+    sel_ok = jnp.take_along_axis(ok, args, axis=-1)
+    b_img = jnp.arange(nb, dtype=jnp.int32) // bh_bw
+    gidx = (
+        jnp.arange(P_pad, dtype=jnp.int32)[None, None, :]
+        + (b_img * n_gauss)[:, None, None]
+    )
+    gidx = jnp.broadcast_to(gidx, ok.shape)
+    sel_idx = jnp.where(sel_ok, jnp.take_along_axis(gidx, args, axis=-1), -1)
+    sel_len = jnp.where(sel_ok, -neg_vals, _SENTINEL_LEN)
+    sel_act = jnp.where(sel_ok, jnp.take_along_axis(act, args, -1), _SENTINEL_ACT)
+    sel_dsd = jnp.where(sel_ok, jnp.take_along_axis(ksk, args, -1), 0.0)
+    if kk < K:
+        pad = ((0, 0), (0, 0), (0, K - kk))
+        sel_idx = jnp.pad(sel_idx, pad, constant_values=-1)
+        sel_len = jnp.pad(sel_len, pad, constant_values=_SENTINEL_LEN)
+        sel_act = jnp.pad(sel_act, pad, constant_values=_SENTINEL_ACT)
+        sel_dsd = jnp.pad(sel_dsd, pad, constant_values=0.0)
+    return sel_idx.astype(jnp.int32), sel_len, sel_act, sel_dsd
+
+
+def _fine_forward_mask(
+    mus: jax.Array,        # (B, P, 3) camera-centered
+    isigmas: jax.Array,    # (B, P, 3, 3)
+    rays: jax.Array,       # (B, H, W, 3)
+    mask: jax.Array,       # (B, BH, BW, P) bool/int8 membership
+    thr_act: float,
+    bin_size: Tuple[int, int],
+    K: int,
+):
+    from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
+
+    B, H, W, _ = rays.shape
+    _, BH, BW, P = mask.shape
+    bsh, bsw = bin_size
+    nb = B * BH * BW
+
+    cand_chunk = 512
+    P_pad = _ceil_to(max(P, cand_chunk), cand_chunk)
+    gauss_feat = _gauss_feature_planes_batched(mus, isigmas)
+    if P_pad > P:
+        gauss_feat = jnp.pad(gauss_feat, ((0, 0), (0, 0), (0, P_pad - P)))
+    mask_flat = mask.reshape(nb, P).astype(jnp.int8)
+    if P_pad > P:
+        mask_flat = jnp.pad(mask_flat, ((0, 0), (0, P_pad - P)))
+
+    rays_feat, R, R_pad = _rays_features(rays, BH, BW, bsh, bsw)
+
+    use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        # bound the (ray_chunk x cand_chunk) working set: largest divisor of
+        # R_pad that is a multiple of 8 and <= 256
+        rc = R_pad
+        if rc > 256:
+            rc = 8
+            for cand in range(256, 7, -8):
+                if R_pad % cand == 0:
+                    rc = cand
+                    break
+        sel = fine_select_mask_pallas(
+            rays_feat, gauss_feat, mask_flat, thr_act, K,
+            bh_bw=BH * BW, n_gauss=P, ray_chunk=rc, cand_chunk=cand_chunk,
+        )
+    else:
+        sel = _xla_select_mask(
+            rays_feat, gauss_feat, mask_flat, thr_act, K, BH * BW, P
+        )
+
+    out = []
+    for x in sel:
+        out.append(_unbin(x[:, :R, :], B, BH, BW, H, W, bsh, bsw))
+    return tuple(out)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ray_trace_fine_mask(mus, isigmas, rays, mask, thr_act, bin_size, K):
+    return _fine_forward_mask(mus, isigmas, rays, mask, thr_act, bin_size, K)
+
+
+def _ray_trace_fine_mask_fwd(mus, isigmas, rays, mask, thr_act, bin_size, K):
+    out = _fine_forward_mask(mus, isigmas, rays, mask, thr_act, bin_size, K)
+    return out, (mus, isigmas, rays, out[0], mask)
+
+
+def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
+    mus, isigmas, rays, sel_idx, mask = res
+    B, P = mus.shape[0], mus.shape[1]
+    grad_mus, grad_isg, grad_rays, _ = _ray_trace_fine_bwd(
+        thr_act, bin_size, K,
+        (mus.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays, sel_idx, mask),
+        g,
+    )
+    g_mask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return (
+        grad_mus.reshape(B, P, 3),
+        grad_isg.reshape(B, P, 3, 3),
+        grad_rays,
+        g_mask,
+    )
+
+
+_ray_trace_fine_mask.defvjp(_ray_trace_fine_mask_fwd, _ray_trace_fine_mask_bwd)
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -326,25 +483,29 @@ def ray_tracing(
         image_size, n_assign, P, bin_size, max_points_per_bin
     )
     H, W = int(image_size[0]), int(image_size[1])
+    inf = 1e10
+    thr_act = -math.log(thr + 1.0 / inf)
 
+    # Production path: per-(bin, Gaussian) membership MASK instead of
+    # compacted candidate lists — no scatter, no per-bin gathers; the
+    # streaming Pallas kernel (or the XLA fallback) applies the mask
+    # directly.  Note: unlike the reference, candidate sets are never
+    # truncated at max_points_per_bin (the reference's overflow behavior is
+    # a nondeterministic silent drop, rasterize_coarse.cu:154-170; without
+    # overflow the selections are identical).
     if mppb == -1:
-        # no-coarse: one bin covering the whole image, all Gaussians listed
-        bin_points = jnp.broadcast_to(
-            (
-                jnp.arange(P, dtype=jnp.int32)[None, :]
-                + (jnp.arange(B, dtype=jnp.int32) * P)[:, None]
-            )[:, None, None, :],
-            (B, 1, 1, P),
-        )
+        mask = jnp.ones((B, 1, 1, P), dtype=jnp.int8)
         eff_bin = (H, W)
     else:
-        bin_points = rasterize_coarse(
+        from voge_tpu.ops.coarse import overlap_mask
+
+        mask = overlap_mask(
             R, T, focal, principal, points, isigmas, (H, W), thr,
-            bin_size_cfg, mppb, **kwargs,
+            bin_size_cfg,
         )
         eff_bin = (bin_size_cfg, bin_size_cfg)
 
-    return ray_tracing_fine(
-        points.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays, bin_points,
-        thr, eff_bin, n_assign,
+    return _ray_trace_fine_mask(
+        points, isigmas, rays, mask, float(thr_act), tuple(eff_bin),
+        int(n_assign),
     )
