@@ -91,8 +91,8 @@ def test_mask_kernel_matches_xla(rng):
     mask[:, P:] = 0
 
     out_p = fine_select_mask_pallas(
-        jnp.asarray(rf), jnp.asarray(gf), jnp.asarray(mask), 4.0, K,
-        bh_bw=BHBW, n_gauss=P, ray_chunk=8, cand_chunk=128, interpret=True,
+        jnp.asarray(rf), jnp.asarray(gf), jnp.asarray(mask)[:, None, :], 4.0,
+        K, bh_bw=BHBW, n_gauss=P, ray_chunk=8, cand_chunk=128, interpret=True,
     )
     out_x = _xla_select_mask(
         jnp.asarray(rf), jnp.asarray(gf), jnp.asarray(mask), 4.0, K, BHBW, P

@@ -383,7 +383,7 @@ def _fine_forward_mask(
                     rc = cand
                     break
         sel = fine_select_mask_pallas(
-            rays_feat, gauss_feat, mask_flat, thr_act, K,
+            rays_feat, gauss_feat, mask_flat[:, None, :], thr_act, K,
             bh_bw=BH * BW, n_gauss=P, ray_chunk=rc, cand_chunk=cand_chunk,
         )
     else:

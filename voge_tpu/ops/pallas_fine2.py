@@ -36,7 +36,7 @@ _RUNW = 128  # running-state lane width (>= K, lane-aligned)
 
 
 def _kernel(
-    mask_ref,   # (1, C) int8   membership of this chunk's Gaussians in bin b
+    mask_ref,   # (1, 1, C) int8 membership of this chunk's Gaussians in bin b
     gf_ref,     # (1, FEAT, C) f32 Gaussian feature planes (batch b_img)
     rf_ref,     # (1, R, FEAT) f32 ray features for this (bin, ray-chunk)
     oi_ref, ol_ref, oa_ref, od_ref,   # (1, R, K) outputs
@@ -49,7 +49,7 @@ def _kernel(
 
     rf = rf_ref[0]                      # (R, FEAT)
     gf = gf_ref[0]                      # (FEAT, C)
-    m = mask_ref[:]                     # (1, C)
+    m = mask_ref[0]                     # (1, C)
     R = rf.shape[0]
     C = gf.shape[1]
 
@@ -117,7 +117,7 @@ def _kernel(
 def fine_select_mask_pallas(
     rays_feat: jax.Array,    # (nb, R_pad, FEAT) f32
     gauss_feat: jax.Array,   # (B, FEAT, P_pad) f32 per-camera feature planes
-    mask: jax.Array,         # (nb, P_pad) int8 membership (0 beyond P)
+    mask: jax.Array,         # (nb, 1, P_pad) int8 membership (0 beyond P)
     thr_act: float,
     K: int,
     bh_bw: int,              # bins per image (BH*BW); b_img = b // bh_bw
@@ -128,6 +128,7 @@ def fine_select_mask_pallas(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     nb, R_pad, _ = rays_feat.shape
     P_pad = gauss_feat.shape[2]
+    assert mask.ndim == 3 and mask.shape[1] == 1
     assert R_pad % ray_chunk == 0 and P_pad % cand_chunk == 0
     n_r = R_pad // ray_chunk
     n_c = P_pad // cand_chunk
@@ -150,7 +151,7 @@ def fine_select_mask_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, cand_chunk), lambda b, r, c: (b, c),
+            pl.BlockSpec((1, 1, cand_chunk), lambda b, r, c: (b, 0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, FEAT, cand_chunk),
                          lambda b, r, c, _bw=int(bh_bw): (b // _bw, 0, c),
