@@ -60,51 +60,62 @@ def _kernel(
         run_dsd[:] = jnp.zeros((R, _RUNW), jnp.float32)
         run_idx[:] = jnp.full((R, _RUNW), -1, jnp.int32)
 
-    msk = rf[:, 0:1] * gf[0:1, :] + rf[:, 1:2] * gf[1:2, :] + rf[:, 2:3] * gf[2:3, :]
-    ksk = rf[:, 3:4] * gf[4:5, :]
-    for q in range(1, 9):
-        ksk = ksk + rf[:, 3 + q : 4 + q] * gf[4 + q : 5 + q, :]
-    length = msk / ksk
-    act = gf[3:4, :] - msk * msk / ksk
-    ok = (act < thr_act) & (m > 0)
-    lm = jnp.where(ok, length, _INF)
+    # Skip chunks with no bin members entirely — with the coarse mask's
+    # typical density (<1%) the vast majority of (bin, chunk) steps are
+    # empty and the K-pass merge below is by far the dominant cost.
+    mf = m.astype(jnp.float32)
 
-    # global flattened Gaussian index: b_img * P + (c * chunk + lane)
-    b_img = b // bh_bw
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-    gidx = lane + (c * chunk + b_img * n_gauss)
-
-    # merge running state (first: earlier chunks win ties) with this chunk
-    cat_len = jnp.concatenate([run_len[:], lm], axis=1)
-    cat_act = jnp.concatenate([run_act[:], act], axis=1)
-    cat_dsd = jnp.concatenate([run_dsd[:], ksk], axis=1)
-    cat_idx = jnp.concatenate([run_idx[:], gidx], axis=1)
-    W = _RUNW + C
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
-
-    new_len, new_act, new_dsd, new_idx = [], [], [], []
-    for _ in range(K):
-        mn = jnp.min(cat_len, axis=1, keepdims=True)
-        am = jnp.argmin(cat_len, axis=1)
-        oh = lane_w == am[:, None]
-        valid = mn < _INF
-        new_len.append(jnp.where(valid, mn, _INF))
-        new_act.append(
-            jnp.where(valid, jnp.sum(jnp.where(oh, cat_act, 0.0), axis=1, keepdims=True), _INF)
+    @pl.when(jnp.max(mf) > 0.5)
+    def _():
+        msk = (
+            rf[:, 0:1] * gf[0:1, :]
+            + rf[:, 1:2] * gf[1:2, :]
+            + rf[:, 2:3] * gf[2:3, :]
         )
-        new_dsd.append(
-            jnp.where(valid, jnp.sum(jnp.where(oh, cat_dsd, 0.0), axis=1, keepdims=True), 0.0)
-        )
-        new_idx.append(
-            jnp.where(valid, jnp.sum(jnp.where(oh, cat_idx, 0), axis=1, keepdims=True), -1)
-        )
-        cat_len = jnp.where(oh, _INF, cat_len)
+        ksk = rf[:, 3:4] * gf[4:5, :]
+        for q in range(1, 9):
+            ksk = ksk + rf[:, 3 + q : 4 + q] * gf[4 + q : 5 + q, :]
+        length = msk / ksk
+        act = gf[3:4, :] - msk * msk / ksk
+        ok = (act < thr_act) & (mf > 0.5)
+        lm = jnp.where(ok, length, _INF)
 
-    pad = _RUNW - K
-    run_len[:] = jnp.concatenate(new_len + [jnp.full((R, pad), _INF, jnp.float32)], axis=1)
-    run_act[:] = jnp.concatenate(new_act + [jnp.full((R, pad), _INF, jnp.float32)], axis=1)
-    run_dsd[:] = jnp.concatenate(new_dsd + [jnp.zeros((R, pad), jnp.float32)], axis=1)
-    run_idx[:] = jnp.concatenate(new_idx + [jnp.full((R, pad), -1, jnp.int32)], axis=1)
+        # global flattened Gaussian index: b_img * P + (c * chunk + lane)
+        b_img = b // bh_bw
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+        gidx = lane + (c * chunk + b_img * n_gauss)
+
+        # merge running state (first: earlier chunks win ties) with chunk
+        cat_len = jnp.concatenate([run_len[:], lm], axis=1)
+        cat_act = jnp.concatenate([run_act[:], act], axis=1)
+        cat_dsd = jnp.concatenate([run_dsd[:], ksk], axis=1)
+        cat_idx = jnp.concatenate([run_idx[:], gidx], axis=1)
+        W = _RUNW + C
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+
+        new_len, new_act, new_dsd, new_idx = [], [], [], []
+        for _ in range(K):
+            mn = jnp.min(cat_len, axis=1, keepdims=True)
+            am = jnp.argmin(cat_len, axis=1)
+            oh = lane_w == am[:, None]
+            valid = mn < _INF
+            new_len.append(jnp.where(valid, mn, _INF))
+            new_act.append(
+                jnp.where(valid, jnp.sum(jnp.where(oh, cat_act, 0.0), axis=1, keepdims=True), _INF)
+            )
+            new_dsd.append(
+                jnp.where(valid, jnp.sum(jnp.where(oh, cat_dsd, 0.0), axis=1, keepdims=True), 0.0)
+            )
+            new_idx.append(
+                jnp.where(valid, jnp.sum(jnp.where(oh, cat_idx, 0), axis=1, keepdims=True), -1)
+            )
+            cat_len = jnp.where(oh, _INF, cat_len)
+
+        pad = _RUNW - K
+        run_len[:] = jnp.concatenate(new_len + [jnp.full((R, pad), _INF, jnp.float32)], axis=1)
+        run_act[:] = jnp.concatenate(new_act + [jnp.full((R, pad), _INF, jnp.float32)], axis=1)
+        run_dsd[:] = jnp.concatenate(new_dsd + [jnp.zeros((R, pad), jnp.float32)], axis=1)
+        run_idx[:] = jnp.concatenate(new_idx + [jnp.full((R, pad), -1, jnp.int32)], axis=1)
 
     @pl.when(c == n_c - 1)
     def _():
