@@ -100,3 +100,73 @@ def test_mask_kernel_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_x[0]))
     for a_, b_ in zip(out_p[1:], out_x[1:]):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_bwd_kernels_match_xla_bwd(rng):
+    """Pallas backward kernels (interpret mode) vs the XLA entry-space
+    backward on a small scene."""
+    import math
+    import voge_tpu.ops.fine as F
+    from voge_tpu.ops.pallas_bwd import fine_bwd_gauss_pallas, fine_bwd_rays_pallas
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.rays import camera_rays
+    from voge_tpu.ops.coarse import overlap_mask
+
+    B, H, W, P, K = 2, 20, 20, 60, 5
+    mus_w = rng.uniform(-1, 1, size=(P, 3)).astype(np.float32) * 0.8
+    a = rng.uniform(-1, 1, size=(P, 3, 3)).astype(np.float32)
+    isig = np.einsum("pij,pkj->pik", a, a) + 2 * np.eye(3, dtype=np.float32)
+    R_, T_ = look_at_view_transform(dist=[4.0, 4.5], elev=[5.0, 20.0], azim=[10.0, 40.0])
+    focal = jnp.broadcast_to(jnp.asarray([[30.0, 30.0]]), (B, 2))
+    principal = jnp.broadcast_to(jnp.asarray([[10.0, 10.0]]), (B, 2))
+    rays, origins = camera_rays(R_, T_, focal, principal, (H, W))
+    mus = jnp.asarray(mus_w)[None] - origins[:, None, :]
+    isig_b = jnp.broadcast_to(jnp.asarray(isig)[None], (B, P, 3, 3))
+    bin_size = 10
+    mask = overlap_mask(R_, T_, focal, principal, mus, isig_b, (H, W), 0.01, bin_size)
+    thr_act = -math.log(0.01 + 1e-10)
+
+    sel = F._fine_forward_mask(mus, isig_b, rays, mask, thr_act, (bin_size, bin_size), K)
+    g = (None,
+         jnp.asarray(rng.rand(B, H, W, K).astype(np.float32)),
+         jnp.asarray(rng.rand(B, H, W, K).astype(np.float32)),
+         jnp.asarray(rng.rand(B, H, W, K).astype(np.float32)))
+
+    # reference: XLA entry-space backward
+    gm_x, gi_x, gr_x, _ = F._ray_trace_fine_bwd(
+        thr_act, (bin_size, bin_size), K,
+        (mus.reshape(-1, 3), isig_b.reshape(-1, 3, 3), rays, sel[0], mask), g,
+    )
+    gm_x = np.asarray(gm_x).reshape(B, P, 3)
+    gi_x = np.asarray(gi_x).reshape(B, P, 3, 3)
+
+    # pallas path (interpret)
+    _, BH, BW, _ = mask.shape
+    cand_chunk = 128
+    P_pad = 128
+    gf = F._gauss_feature_planes_batched(mus, isig_b)
+    gf = jnp.pad(gf, ((0, 0), (0, 0), (0, P_pad - P)))
+    mf = jnp.pad(mask.reshape(B * BH * BW, P).astype(jnp.int8),
+                 ((0, 0), (0, P_pad - P)))[:, None, :]
+    rays_feat, Rr, R_pad = F._rays_features(rays, BH, BW, bin_size, bin_size)
+    args = (
+        F._bin_hwk(sel[0], BH, BW, bin_size, bin_size, H, W, R_pad, -1),
+        F._bin_hwk(g[1], BH, BW, bin_size, bin_size, H, W, R_pad, 0.0),
+        F._bin_hwk(g[2], BH, BW, bin_size, bin_size, H, W, R_pad, 0.0),
+        F._bin_hwk(g[3], BH, BW, bin_size, bin_size, H, W, R_pad, 0.0),
+    )
+    gg = fine_bwd_gauss_pallas(
+        rays_feat, gf, mf, *args, thr_act=thr_act, K=K, bh_bw=BH * BW,
+        n_gauss=P, ray_chunk=8, cand_chunk=cand_chunk, interpret=True,
+    )
+    rb = fine_bwd_rays_pallas(
+        rays_feat, gf, mf, *args, thr_act=thr_act, K=K, bh_bw=BH * BW,
+        n_gauss=P, ray_chunk=8, cand_chunk=cand_chunk, interpret=True,
+    )
+    gm_p = np.asarray(jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1))
+    gi_p = np.asarray(jnp.stack([gg[:, 3 + q, :P] for q in range(9)], axis=-1)).reshape(B, P, 3, 3)
+    gr_p = np.asarray(F._unbin(rb[:, : bin_size * bin_size, 0:3],
+                               B, BH, BW, H, W, bin_size, bin_size))
+    np.testing.assert_allclose(gm_p, gm_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gi_p, gi_x, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gr_p, np.asarray(gr_x), rtol=1e-4, atol=1e-4)

@@ -287,14 +287,18 @@ _ray_trace_fine.defvjp(_ray_trace_fine_fwd, _ray_trace_fine_bwd)
 # ---------------------------------------------------------------------------
 
 def _gauss_feature_planes_batched(mus: jax.Array, isigmas: jax.Array):
-    """(B, P, 3)/(B, P, 3, 3) -> (B, FEAT, P) feature planes."""
+    """(B, P, 3)/(B, P, 3, 3) -> (B, FEAT, P) feature planes.
+
+    Rows: [A0, A1, A2, msm, L00..L22, mu0, mu1, mu2] with A = Lambda^T mu.
+    The forward kernel uses rows 0..12; the backward kernel additionally
+    uses the mu rows 13..15.
+    """
     mu = [mus[..., d] for d in range(3)]                      # (B, P)
     L = [[isigmas[..., i, j] for j in range(3)] for i in range(3)]
     A = [L[0][i] * mu[0] + L[1][i] * mu[1] + L[2][i] * mu[2] for i in range(3)]
     msm = mu[0] * A[0] + mu[1] * A[1] + mu[2] * A[2]
-    cols = A + [msm] + [L[i][j] for i in range(3) for j in range(3)]
-    zeros = jnp.zeros_like(msm)
-    return jnp.stack(cols + [zeros] * (FEAT - 13), axis=1)     # (B, 16, P)
+    cols = A + [msm] + [L[i][j] for i in range(3) for j in range(3)] + mu
+    return jnp.stack(cols, axis=1)                             # (B, 16, P)
 
 
 def _rays_features(rays: jax.Array, BH, BW, bsh, bsw):
@@ -418,15 +422,86 @@ def _ray_trace_fine_mask_fwd(mus, isigmas, rays, mask, thr_act, bin_size, K):
     return out, (mus, isigmas, rays, out[0], mask)
 
 
+def _bin_hwk(x: jax.Array, BH, BW, bsh, bsw, H, W, R_pad, pad_value):
+    """(B, H, W, K) -> (nb, R_pad, K) with the renderer's bin layout."""
+    B, _, _, K = x.shape
+    x = jnp.pad(
+        x, ((0, 0), (0, BH * bsh - H), (0, BW * bsw - W), (0, 0)),
+        constant_values=pad_value,
+    )
+    x = x.reshape(B, BH, bsh, BW, bsw, K).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B * BH * BW, bsh * bsw, K)
+    R = bsh * bsw
+    if R_pad > R:
+        x = jnp.pad(x, ((0, 0), (0, R_pad - R), (0, 0)), constant_values=pad_value)
+    return x
+
+
+def _pick_rc(R_pad: int) -> int:
+    """Largest divisor of R_pad that is a multiple of 8 and <= 256."""
+    if R_pad <= 256:
+        return R_pad
+    for cand in range(256, 7, -8):
+        if R_pad % cand == 0:
+            return cand
+    return 8
+
+
 def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
     mus, isigmas, rays, sel_idx, mask = res
     B, P = mus.shape[0], mus.shape[1]
+    g_mask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+
+    if jax.default_backend() == "tpu":
+        from voge_tpu.ops.pallas_bwd import (
+            fine_bwd_gauss_pallas,
+            fine_bwd_rays_pallas,
+        )
+
+        _, g_len, g_act, g_dsd = g
+        _, BH, BW, _ = mask.shape
+        bsh, bsw = bin_size
+        H, W = rays.shape[1], rays.shape[2]
+        cand_chunk = 512
+        P_pad = _ceil_to(max(P, cand_chunk), cand_chunk)
+        gauss_feat = _gauss_feature_planes_batched(mus, isigmas)
+        if P_pad > P:
+            gauss_feat = jnp.pad(gauss_feat, ((0, 0), (0, 0), (0, P_pad - P)))
+        mask_flat = mask.reshape(B * BH * BW, P).astype(jnp.int8)
+        if P_pad > P:
+            mask_flat = jnp.pad(mask_flat, ((0, 0), (0, P_pad - P)))
+        mask_flat = mask_flat[:, None, :]
+        rays_feat, R, R_pad = _rays_features(rays, BH, BW, bsh, bsw)
+        rc = _pick_rc(R_pad)
+
+        args = (
+            _bin_hwk(sel_idx, BH, BW, bsh, bsw, H, W, R_pad, -1),
+            _bin_hwk(g_len, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
+            _bin_hwk(g_act, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
+            _bin_hwk(g_dsd, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
+        )
+        gg = fine_bwd_gauss_pallas(
+            rays_feat, gauss_feat, mask_flat, *args,
+            thr_act=thr_act, K=K, bh_bw=BH * BW, n_gauss=P,
+            ray_chunk=rc, cand_chunk=cand_chunk,
+        )
+        rb = fine_bwd_rays_pallas(
+            rays_feat, gauss_feat, mask_flat, *args,
+            thr_act=thr_act, K=K, bh_bw=BH * BW, n_gauss=P,
+            ray_chunk=rc, cand_chunk=cand_chunk,
+        )
+        grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
+        grad_isg = jnp.stack(
+            [gg[:, 3 + q, :P] for q in range(9)], axis=-1
+        ).reshape(B, P, 3, 3)
+        grad_rays = _unbin(rb[:, : bsh * bsw, 0:3], B, BH, BW, H, W, bsh, bsw)
+        return grad_mus, grad_isg, grad_rays, g_mask
+
     grad_mus, grad_isg, grad_rays, _ = _ray_trace_fine_bwd(
         thr_act, bin_size, K,
         (mus.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays, sel_idx, mask),
         g,
     )
-    g_mask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
     return (
         grad_mus.reshape(B, P, 3),
         grad_isg.reshape(B, P, 3, 3),

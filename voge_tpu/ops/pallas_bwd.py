@@ -1,0 +1,247 @@
+"""Pallas backward kernels for the fine ray-tracing stage.
+
+Replaces the E = B*H*W*K entry-space backward (gather -> chain ->
+segment_sum) with two streaming kernels over the same (bin, ray-chunk,
+cand-chunk) structure as the forward (:mod:`voge_tpu.ops.pallas_fine2`):
+
+  - :func:`fine_bwd_gauss_pallas` — per-Gaussian gradients.  For each
+    occupied (bin, chunk) step it reconstructs the selection coefficient
+    matrices G_len/G_act/G_dsd (R, C) by matching the bin's selected indices
+    against the chunk's index range, applies the closed-form chain rule of
+    ``ray_trace_voge.cu:324-326``, reduces over rays (13 column reductions),
+    and accumulates per-candidate gradient planes into a (B, 16, P_pad)
+    output with Mosaic block-revisit accumulation (grid ordered with the
+    candidate chunk *outermost* so each output block's visits are
+    consecutive).
+
+  - :func:`fine_bwd_rays_pallas` — per-ray gradients, accumulated in VMEM
+    scratch across candidate chunks (grid ordered like the forward, chunk
+    innermost).
+
+No gathers, no scatters: deterministic, bandwidth-light, and skips empty
+chunks like the forward.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from voge_tpu.ops.pallas_fine import FEAT
+
+_INF = 1e10
+
+
+def _coeffs_and_forms(rf, gf, m, sel, gl, ga, gd, c, b, chunk, bh_bw, n_gauss, K):
+    """Shared reconstruction: selection coefficient matrices and the chain
+    gradients (g_ksk, g_msk, g_msm), each (R, C)."""
+    R = rf.shape[0]
+    C = gf.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    b_img = b // bh_bw
+    gidx = lane + (c * chunk + b_img * n_gauss)                 # (1, C)
+
+    Gl = jnp.zeros((R, C), jnp.float32)
+    Ga = jnp.zeros((R, C), jnp.float32)
+    Gd = jnp.zeros((R, C), jnp.float32)
+    for k in range(K):
+        oh = sel[:, k : k + 1] == gidx                           # (R, C)
+        Gl = Gl + jnp.where(oh, gl[:, k : k + 1], 0.0)
+        Ga = Ga + jnp.where(oh, ga[:, k : k + 1], 0.0)
+        Gd = Gd + jnp.where(oh, gd[:, k : k + 1], 0.0)
+
+    msk = rf[:, 0:1] * gf[0:1, :] + rf[:, 1:2] * gf[1:2, :] + rf[:, 2:3] * gf[2:3, :]
+    ksk = rf[:, 3:4] * gf[4:5, :]
+    for q in range(1, 9):
+        ksk = ksk + rf[:, 3 + q : 4 + q] * gf[4 + q : 5 + q, :]
+    nz = ksk != 0.0
+    ksk_s = jnp.where(nz, ksk, 1.0)
+
+    g_ksk = (Ga * msk - Gl) * msk / (ksk_s * ksk_s) + Gd
+    g_msk = (Gl - 2.0 * Ga * msk) / ksk_s
+    g_msm = Ga
+    return g_ksk, g_msk, g_msm
+
+
+def _bwd_gauss_kernel(
+    mask_ref, gf_ref, rf_ref, sel_ref, gl_ref, ga_ref, gd_ref,
+    out_ref,  # (1, FEAT, C) accumulated gradient planes
+    *, thr_act: float, K: int, chunk: int, bh_bw: int, n_gauss: int,
+):
+    c = pl.program_id(0)
+    b = pl.program_id(1)
+    r = pl.program_id(2)
+
+    first = (b % bh_bw == 0) & (r == 0)
+
+    @pl.when(first)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    m = mask_ref[0]
+
+    @pl.when(jnp.max(m.astype(jnp.float32)) > 0.5)
+    def _():
+        rf = rf_ref[0]
+        gf = gf_ref[0]
+        g_ksk, g_msk, g_msm = _coeffs_and_forms(
+            rf, gf, m, sel_ref[0], gl_ref[0], ga_ref[0], gd_ref[0],
+            c, b, chunk, bh_bw, n_gauss, K,
+        )
+        # column reductions over rays
+        S1 = jnp.sum(g_msm, axis=0, keepdims=True)               # (1, C)
+        Sr = [
+            jnp.sum(g_msk * rf[:, j : j + 1], axis=0, keepdims=True)
+            for j in range(3)
+        ]
+        Srr = [
+            jnp.sum(g_ksk * rf[:, 3 + q : 4 + q], axis=0, keepdims=True)
+            for q in range(9)
+        ]
+        L = [[gf[4 + i * 3 + j : 5 + i * 3 + j, :] for j in range(3)] for i in range(3)]
+        mu = [gf[13 + i : 14 + i, :] for i in range(3)]
+        g_mu = [
+            sum(L[i][j] * Sr[j] for j in range(3))
+            + S1 * sum((L[i][j] + L[j][i]) * mu[j] for j in range(3))
+            for i in range(3)
+        ]
+        g_L = [
+            Srr[i * 3 + j] + Sr[j] * mu[i] + S1 * mu[i] * mu[j]
+            for i in range(3)
+            for j in range(3)
+        ]
+        zero = jnp.zeros_like(S1)
+        contrib = jnp.concatenate(g_mu + g_L + [zero] * (FEAT - 12), axis=0)
+        out_ref[0] = out_ref[0] + contrib
+
+
+def _bwd_rays_kernel(
+    mask_ref, gf_ref, rf_ref, sel_ref, gl_ref, ga_ref, gd_ref,
+    out_ref,  # (1, R, FEAT) per-ray gradient (cols 0..2 used)
+    acc,      # (R, FEAT) scratch
+    *, thr_act: float, K: int, chunk: int, bh_bw: int, n_gauss: int,
+):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    c = pl.program_id(2)
+    n_c = pl.num_programs(2)
+
+    @pl.when(c == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    m = mask_ref[0]
+
+    @pl.when(jnp.max(m.astype(jnp.float32)) > 0.5)
+    def _():
+        rf = rf_ref[0]
+        gf = gf_ref[0]
+        R = rf.shape[0]
+        g_ksk, g_msk, g_msm = _coeffs_and_forms(
+            rf, gf, m, sel_ref[0], gl_ref[0], ga_ref[0], gd_ref[0],
+            c, b, chunk, bh_bw, n_gauss, K,
+        )
+        L = [[gf[4 + i * 3 + j : 5 + i * 3 + j, :] for j in range(3)] for i in range(3)]
+        mu = [gf[13 + i : 14 + i, :] for i in range(3)]
+        cols = []
+        for i in range(3):
+            lam_r_i = sum(L[i][j] * rf[:, j : j + 1] for j in range(3))
+            lamT_r_i = sum(L[j][i] * rf[:, j : j + 1] for j in range(3))
+            lamT_mu_i = sum(L[j][i] * mu[j] for j in range(3))
+            term = g_ksk * (lam_r_i + lamT_r_i) + g_msk * lamT_mu_i
+            cols.append(jnp.sum(term, axis=1, keepdims=True))    # (R, 1)
+        zero = jnp.zeros_like(cols[0])
+        acc[:] = acc[:] + jnp.concatenate(cols + [zero] * (FEAT - 3), axis=1)
+
+    @pl.when(c == n_c - 1)
+    def _():
+        out_ref[0] = acc[:]
+
+
+def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order):
+    """BlockSpecs for (mask, gf, rf, sel, gl, ga, gd) under a grid index
+    order: 'cbr' (c, b, r) or 'brc' (b, r, c)."""
+    if order == "cbr":
+        sel_map = lambda c, b, r: (b, r, 0)
+        mask_map = lambda c, b, r: (b, 0, c)
+        gf_map = lambda c, b, r, _bw=bh_bw: (b // _bw, 0, c)
+        rf_map = lambda c, b, r: (b, r, 0)
+    else:
+        sel_map = lambda b, r, c: (b, r, 0)
+        mask_map = lambda b, r, c: (b, 0, c)
+        gf_map = lambda b, r, c, _bw=bh_bw: (b // _bw, 0, c)
+        rf_map = lambda b, r, c: (b, r, 0)
+    slot = pl.BlockSpec((1, ray_chunk, K), sel_map, memory_space=pltpu.VMEM)
+    return [
+        pl.BlockSpec((1, 1, cand_chunk), mask_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, FEAT, cand_chunk), gf_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ray_chunk, FEAT), rf_map, memory_space=pltpu.VMEM),
+        slot, slot, slot, slot,
+    ]
+
+
+def fine_bwd_gauss_pallas(
+    rays_feat, gauss_feat, mask, sel_b, gl_b, ga_b, gd_b,
+    thr_act: float, K: int, bh_bw: int, n_gauss: int,
+    ray_chunk: int, cand_chunk: int = 512, interpret: bool = False,
+):
+    """Per-Gaussian gradient planes (B, FEAT, P_pad): rows 0..2 = grad_mu,
+    rows 3..11 = grad_Lambda."""
+    nb, R_pad, _ = rays_feat.shape
+    B, _, P_pad = gauss_feat.shape
+    n_r = R_pad // ray_chunk
+    n_c = P_pad // cand_chunk
+    kernel = functools.partial(
+        _bwd_gauss_kernel, thr_act=float(thr_act), K=int(K),
+        chunk=int(cand_chunk), bh_bw=int(bh_bw), n_gauss=int(n_gauss),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_c, nb, n_r),
+        in_specs=_common_specs(ray_chunk, cand_chunk, K, bh_bw, "cbr"),
+        out_specs=pl.BlockSpec(
+            (1, FEAT, cand_chunk),
+            lambda c, b, r, _bw=int(bh_bw): (b // _bw, 0, c),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, FEAT, P_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(mask, gauss_feat, rays_feat, sel_b, gl_b, ga_b, gd_b)
+
+
+def fine_bwd_rays_pallas(
+    rays_feat, gauss_feat, mask, sel_b, gl_b, ga_b, gd_b,
+    thr_act: float, K: int, bh_bw: int, n_gauss: int,
+    ray_chunk: int, cand_chunk: int = 512, interpret: bool = False,
+):
+    """Per-ray gradients (nb, R_pad, FEAT): cols 0..2 = grad_ray."""
+    nb, R_pad, _ = rays_feat.shape
+    B, _, P_pad = gauss_feat.shape
+    n_r = R_pad // ray_chunk
+    n_c = P_pad // cand_chunk
+    kernel = functools.partial(
+        _bwd_rays_kernel, thr_act=float(thr_act), K=int(K),
+        chunk=int(cand_chunk), bh_bw=int(bh_bw), n_gauss=int(n_gauss),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, n_r, n_c),
+        in_specs=_common_specs(ray_chunk, cand_chunk, K, bh_bw, "brc"),
+        out_specs=pl.BlockSpec(
+            (1, ray_chunk, FEAT), lambda b, r, c: (b, r, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb, R_pad, FEAT), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((ray_chunk, FEAT), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(mask, gauss_feat, rays_feat, sel_b, gl_b, ga_b, gd_b)
