@@ -107,3 +107,18 @@ def test_perspective_cameras_formats():
     np.testing.assert_allclose(np.asarray(f[0]), [300.0, 300.0])
     cam.focal = 500.0
     np.testing.assert_allclose(np.asarray(cam.focal_length[0]), [500.0, 500.0])
+
+
+def test_get_projection_transform():
+    from voge_tpu.camera_op import get_projection_transform
+
+    K = get_projection_transform(300.0, ((128.0, 120.0),))
+    x = jnp.asarray([[0.5, -0.2, 2.0, 1.0]])
+    out = x @ K[0]
+    proj = out / out[..., -1:]
+    np.testing.assert_allclose(
+        np.asarray(proj[0, :2]),
+        [300 * 0.5 / 2 + 128, 300 * -0.2 / 2 + 120],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(float(proj[0, 2]), 1 / 2.0, rtol=1e-6)

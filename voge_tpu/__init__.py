@@ -28,6 +28,7 @@ __version__ = "0.1.0"
 
 from voge_tpu import utils
 from voge_tpu import cameras
+from voge_tpu import camera_op as CameraOP
 from voge_tpu import rays
 from voge_tpu import meshes
 from voge_tpu import aggregation
@@ -36,6 +37,8 @@ from voge_tpu import renderer
 from voge_tpu import sampler
 from voge_tpu import converter
 from voge_tpu import parallel
+from voge_tpu import checkpoint
+from voge_tpu import timing
 
 from voge_tpu.meshes import GaussianMeshes, GaussianMeshesNaive
 from voge_tpu.renderer import (

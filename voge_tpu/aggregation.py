@@ -84,6 +84,35 @@ def aggregation(
     return get_weight, sel_idx, valid_num, sel_len
 
 
+@jax.custom_vjp
+def _gather_attr(vert_attr: jax.Array, ind: jax.Array) -> jax.Array:
+    """vert_attr[ind] with a TPU-friendly custom backward: the cotangent is
+    accumulated with one channel-padded ``segment_sum`` (autodiff's default
+    scatter-add on a trailing-3 array is ~2x slower)."""
+    return vert_attr[ind]
+
+
+def _gather_attr_fwd(vert_attr, ind):
+    return vert_attr[ind], (vert_attr.shape, ind)
+
+
+def _gather_attr_bwd(res, g):
+    import numpy as _np
+
+    shape, ind = res
+    n, d = shape
+    E = int(_np.prod(ind.shape))
+    g2 = g.reshape(E, d)
+    pad = (-d) % 8
+    if pad:
+        g2 = jnp.pad(g2, ((0, 0), (0, pad)))
+    summed = jax.ops.segment_sum(g2, ind.reshape(E), num_segments=n)
+    return summed[:, :d], _np.zeros(ind.shape, dtype=jax.dtypes.float0)
+
+
+_gather_attr.defvjp(_gather_attr_fwd, _gather_attr_bwd)
+
+
 def merge_final(
     vert_attr: jax.Array, weight: jax.Array, vert_assign: jax.Array,
     valid_num: jax.Array,
@@ -106,7 +135,7 @@ def merge_final(
     vert_assign = jnp.where(vert_assign < 0, vert_assign + 1, vert_assign)
     weight = mask * weight
     # [n, d] gathered by [..., M] -> [..., M, d]
-    sel_attr = vert_attr[vert_assign.astype(jnp.int32)]
+    sel_attr = _gather_attr(vert_attr, vert_assign.astype(jnp.int32))
     return jnp.sum(sel_attr * weight[..., None], axis=-2)
 
 

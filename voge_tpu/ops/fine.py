@@ -375,7 +375,7 @@ def _fine_forward_mask(
     bsh, bsw = bin_size
     nb = B * BH * BW
 
-    cand_chunk = 512
+    cand_chunk = 1024
     P_pad = _ceil_to(max(P, cand_chunk), cand_chunk)
     gauss_feat = _gauss_feature_planes_batched(mus, isigmas)
     if P_pad > P:
@@ -462,7 +462,7 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
         _, BH, BW, _ = mask.shape
         bsh, bsw = bin_size
         H, W = rays.shape[1], rays.shape[2]
-        cand_chunk = 512
+        cand_chunk = 1024
         P_pad = _ceil_to(max(P, cand_chunk), cand_chunk)
         gauss_feat = _gauss_feature_planes_batched(mus, isigmas)
         if P_pad > P:
