@@ -582,6 +582,18 @@ def ray_tracing(
     if mppb == -1:
         mask = jnp.ones((B, 1, 1, P), dtype=jnp.int8)
         eff_bin = (H, W)
+    elif jax.default_backend() != "tpu":
+        # CPU/fallback with culling: the compacted-list gather path bounds
+        # the dense hit tensors at (bins, R, max_points_per_bin) instead of
+        # (bins, R, P).  (Reference truncation semantics apply on overflow.)
+        bin_points = rasterize_coarse(
+            R, T, focal, principal, points, isigmas, (H, W), thr,
+            bin_size_cfg, mppb, **kwargs,
+        )
+        return ray_tracing_fine(
+            points.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays,
+            bin_points, thr, (bin_size_cfg, bin_size_cfg), n_assign,
+        )
     else:
         from voge_tpu.ops.coarse import overlap_mask
 
