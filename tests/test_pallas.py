@@ -170,3 +170,64 @@ def test_pallas_bwd_kernels_match_xla_bwd(rng):
     np.testing.assert_allclose(gm_p, gm_x, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(gi_p, gi_x, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(gr_p, np.asarray(gr_x), rtol=1e-4, atol=1e-4)
+
+
+def test_supertile_grouping_roundtrip(rng):
+    from voge_tpu.ops.fine import _group_supertiles, _ungroup_supertiles
+
+    B, BH, BW, R, C = 2, 3, 5, 8, 7
+    x = jnp.asarray(rng.rand(B * BH * BW, R, C).astype(np.float32))
+    g, BH2, BW2 = _group_supertiles(x, B, BH, BW)
+    assert g.shape == (B * BH2 * BW2, 4 * R, C)
+    back = _ungroup_supertiles(g, B, BH, BW)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_mask_kernel_supertiled_matches_xla(rng):
+    """Grouped (2x2 sub-bin) kernel path vs ungrouped XLA selection."""
+    from voge_tpu.ops.fine import (
+        _group_supertiles,
+        _ungroup_supertiles,
+        _xla_select_mask,
+    )
+    from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
+
+    B, BH, BW, Rb, P, K = 2, 2, 2, 8, 200, 4
+    nb = B * BH * BW
+    rays = rng.normal(size=(nb, Rb, 3)).astype(np.float32)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    rf = np.zeros((nb, Rb, FEAT), np.float32)
+    rf[:, :, 0:3] = rays
+    rf[:, :, 3:12] = (rays[:, :, :, None] * rays[:, :, None, :]).reshape(nb, Rb, 9)
+
+    mus = rng.uniform(-1, 1, size=(B, P, 3)).astype(np.float32)
+    a = rng.uniform(-1, 1, size=(B, P, 3, 3)).astype(np.float32)
+    lam = np.einsum("bmij,bmkj->bmik", a, a) + 2 * np.eye(3, dtype=np.float32)
+    A = np.einsum("bmji,bmj->bmi", lam, mus)
+    msm = np.einsum("bmi,bmi->bm", mus, A)
+    P_pad = 256
+    gf = np.zeros((B, FEAT, P_pad), np.float32)
+    gf[:, 0:3, :P] = A.transpose(0, 2, 1)
+    gf[:, 3, :P] = msm
+    gf[:, 4:13, :P] = lam.reshape(B, P, 9).transpose(0, 2, 1)
+    gf[:, 13:16, :P] = mus.transpose(0, 2, 1)
+
+    mask = (rng.rand(nb, P_pad) < 0.5).astype(np.int8)
+    mask[:, P:] = 0
+
+    rf_j = jnp.asarray(rf)
+    out_x = _xla_select_mask(
+        rf_j, jnp.asarray(gf), jnp.asarray(mask), 4.0, K, BH * BW, P
+    )
+
+    rf_g, BH2, BW2 = _group_supertiles(rf_j, B, BH, BW)
+    mask_g, _, _ = _group_supertiles(jnp.asarray(mask)[:, None, :], B, BH, BW)
+    out_g = fine_select_mask_pallas(
+        rf_g, jnp.asarray(gf), mask_g, 4.0, K,
+        bh_bw=BH2 * BW2, n_gauss=P, ray_chunk=rf_g.shape[1],
+        cand_chunk=128, interpret=True,
+    )
+    out_p = tuple(_ungroup_supertiles(x, B, BH, BW) for x in out_g)
+    np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_x[0]))
+    for a_, b_ in zip(out_p[1:], out_x[1:]):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5)

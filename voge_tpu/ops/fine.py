@@ -387,16 +387,21 @@ def _fine_forward_mask(
     rays_feat, R, R_pad = _rays_features(rays, BH, BW, bsh, bsw)
 
     use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    if use_pallas and BH * BW > 1:
+        # supertile: 2x2 bins per kernel step (4x fewer grid steps; each
+        # ray keeps its own bin's membership row)
+        rf_g, BH2, BW2 = _group_supertiles(rays_feat, B, BH, BW)
+        mask_g, _, _ = _group_supertiles(mask_flat[:, None, :], B, BH, BW)
+        sel_g = fine_select_mask_pallas(
+            rf_g, gauss_feat, mask_g, thr_act, K,
+            bh_bw=BH2 * BW2, n_gauss=P, ray_chunk=rf_g.shape[1],
+            cand_chunk=cand_chunk,
+        )
+        sel = tuple(_ungroup_supertiles(x, B, BH, BW) for x in sel_g)
+    elif use_pallas:
         # bound the (ray_chunk x cand_chunk) working set: largest divisor of
         # R_pad that is a multiple of 8 and <= 256
-        rc = R_pad
-        if rc > 256:
-            rc = 8
-            for cand in range(256, 7, -8):
-                if R_pad % cand == 0:
-                    rc = cand
-                    break
+        rc = _pick_rc(R_pad)
         sel = fine_select_mask_pallas(
             rays_feat, gauss_feat, mask_flat[:, None, :], thr_act, K,
             bh_bw=BH * BW, n_gauss=P, ray_chunk=rc, cand_chunk=cand_chunk,
@@ -437,6 +442,39 @@ def _bin_hwk(x: jax.Array, BH, BW, bsh, bsw, H, W, R_pad, pad_value):
     return x
 
 
+def _group_supertiles(x: jax.Array, B: int, BH: int, BW: int):
+    """(B*BH*BW, R, ...) -> (B*BH2*BW2, 4*R, ...) grouping 2x2 bins per
+    supertile (padding odd bin grids; padded bins get zeros).
+
+    :return: (grouped, BH2, BW2)
+    """
+    nb, R = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
+    x = x.reshape((B, BH, BW) + (R,) + rest)
+    x = jnp.pad(
+        x,
+        ((0, 0), (0, 2 * BH2 - BH), (0, 2 * BW2 - BW))
+        + ((0, 0),) * (1 + len(rest)),
+    )
+    x = x.reshape((B, BH2, 2, BW2, 2, R) + rest)
+    x = jnp.moveaxis(x, 3, 2)  # (B, BH2, BW2, 2, 2, R, ...)
+    return x.reshape((B * BH2 * BW2, 4 * R) + rest), BH2, BW2
+
+
+def _ungroup_supertiles(x: jax.Array, B: int, BH: int, BW: int):
+    """Inverse of :func:`_group_supertiles`: (B*BH2*BW2, 4*R, ...) ->
+    (B*BH*BW, R, ...)."""
+    BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
+    nst, R4 = x.shape[0], x.shape[1]
+    rest = x.shape[2:]
+    R = R4 // 4
+    x = x.reshape((B, BH2, BW2, 2, 2, R) + rest)
+    x = jnp.moveaxis(x, 2, 3)  # (B, BH2, 2, BW2, 2, R, ...)
+    x = x.reshape((B, 2 * BH2, 2 * BW2, R) + rest)
+    return x[:, :BH, :BW].reshape((B * BH * BW, R) + rest)
+
+
 def _pick_rc(R_pad: int) -> int:
     """Largest divisor of R_pad that is a multiple of 8 and <= 256."""
     if R_pad <= 256:
@@ -472,7 +510,6 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
             mask_flat = jnp.pad(mask_flat, ((0, 0), (0, P_pad - P)))
         mask_flat = mask_flat[:, None, :]
         rays_feat, R, R_pad = _rays_features(rays, BH, BW, bsh, bsw)
-        rc = _pick_rc(R_pad)
 
         args = (
             _bin_hwk(sel_idx, BH, BW, bsh, bsw, H, W, R_pad, -1),
@@ -480,16 +517,29 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
             _bin_hwk(g_act, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
             _bin_hwk(g_dsd, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
         )
+        if BH * BW > 1:  # supertile 2x2 bins, like the forward
+            rays_feat, BH2, BW2 = _group_supertiles(rays_feat, B, BH, BW)
+            mask_flat, _, _ = _group_supertiles(mask_flat, B, BH, BW)
+            args = tuple(
+                _group_supertiles(a, B, BH, BW)[0] for a in args
+            )
+            bh_bw = BH2 * BW2
+            rc = rays_feat.shape[1]
+        else:
+            bh_bw = BH * BW
+            rc = _pick_rc(R_pad)
         gg = fine_bwd_gauss_pallas(
             rays_feat, gauss_feat, mask_flat, *args,
-            thr_act=thr_act, K=K, bh_bw=BH * BW, n_gauss=P,
+            thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
             ray_chunk=rc, cand_chunk=cand_chunk,
         )
         rb = fine_bwd_rays_pallas(
             rays_feat, gauss_feat, mask_flat, *args,
-            thr_act=thr_act, K=K, bh_bw=BH * BW, n_gauss=P,
+            thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
             ray_chunk=rc, cand_chunk=cand_chunk,
         )
+        if BH * BW > 1:
+            rb = _ungroup_supertiles(rb, B, BH, BW)
         grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
         grad_isg = jnp.stack(
             [gg[:, 3 + q, :P] for q in range(9)], axis=-1

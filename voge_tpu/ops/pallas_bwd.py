@@ -162,7 +162,7 @@ def _bwd_rays_kernel(
         out_ref[0] = acc[:]
 
 
-def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order):
+def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order, G=1):
     """BlockSpecs for (mask, gf, rf, sel, gl, ga, gd) under a grid index
     order: 'cbr' (c, b, r) or 'brc' (b, r, c)."""
     if order == "cbr":
@@ -177,7 +177,7 @@ def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order):
         rf_map = lambda b, r, c: (b, r, 0)
     slot = pl.BlockSpec((1, ray_chunk, K), sel_map, memory_space=pltpu.VMEM)
     return [
-        pl.BlockSpec((1, 1, cand_chunk), mask_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, G, cand_chunk), mask_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, FEAT, cand_chunk), gf_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ray_chunk, FEAT), rf_map, memory_space=pltpu.VMEM),
         slot, slot, slot, slot,
@@ -193,6 +193,7 @@ def fine_bwd_gauss_pallas(
     rows 3..11 = grad_Lambda."""
     nb, R_pad, _ = rays_feat.shape
     B, _, P_pad = gauss_feat.shape
+    G = mask.shape[1]
     n_r = R_pad // ray_chunk
     n_c = P_pad // cand_chunk
     kernel = functools.partial(
@@ -202,7 +203,7 @@ def fine_bwd_gauss_pallas(
     return pl.pallas_call(
         kernel,
         grid=(n_c, nb, n_r),
-        in_specs=_common_specs(ray_chunk, cand_chunk, K, bh_bw, "cbr"),
+        in_specs=_common_specs(ray_chunk, cand_chunk, K, bh_bw, "cbr", G=G),
         out_specs=pl.BlockSpec(
             (1, FEAT, cand_chunk),
             lambda c, b, r, _bw=int(bh_bw): (b // _bw, 0, c),
@@ -224,6 +225,7 @@ def fine_bwd_rays_pallas(
     """Per-ray gradients (nb, R_pad, FEAT): cols 0..2 = grad_ray."""
     nb, R_pad, _ = rays_feat.shape
     B, _, P_pad = gauss_feat.shape
+    G = mask.shape[1]
     n_r = R_pad // ray_chunk
     n_c = P_pad // cand_chunk
     kernel = functools.partial(
@@ -233,7 +235,7 @@ def fine_bwd_rays_pallas(
     return pl.pallas_call(
         kernel,
         grid=(nb, n_r, n_c),
-        in_specs=_common_specs(ray_chunk, cand_chunk, K, bh_bw, "brc"),
+        in_specs=_common_specs(ray_chunk, cand_chunk, K, bh_bw, "brc", G=G),
         out_specs=pl.BlockSpec(
             (1, ray_chunk, FEAT), lambda b, r, c: (b, r, 0),
             memory_space=pltpu.VMEM,

@@ -36,12 +36,13 @@ _RUNW = 128  # running-state lane width (>= K, lane-aligned)
 
 
 def _kernel(
-    mask_ref,   # (1, 1, C) int8 membership of this chunk's Gaussians in bin b
+    mask_ref,   # (1, G, C) int8 membership (one row per sub-bin)
     gf_ref,     # (1, FEAT, C) f32 Gaussian feature planes (batch b_img)
-    rf_ref,     # (1, R, FEAT) f32 ray features for this (bin, ray-chunk)
+    rf_ref,     # (1, R, FEAT) f32 ray features (G sub-bins' rays stacked)
     oi_ref, ol_ref, oa_ref, od_ref,   # (1, R, K) outputs
     run_len, run_act, run_dsd, run_idx,  # (R, _RUNW) scratch
     *, thr_act: float, K: int, chunk: int, bh_bw: int, n_gauss: int,
+    sub_bins: int,
 ):
     c = pl.program_id(2)
     n_c = pl.num_programs(2)
@@ -49,9 +50,11 @@ def _kernel(
 
     rf = rf_ref[0]                      # (R, FEAT)
     gf = gf_ref[0]                      # (FEAT, C)
-    m = mask_ref[0]                     # (1, C)
+    m = mask_ref[0]                     # (G, C)
     R = rf.shape[0]
     C = gf.shape[1]
+    G = m.shape[0]
+    R_bin = R // G
 
     @pl.when(c == 0)
     def _():
@@ -64,6 +67,8 @@ def _kernel(
     # typical density (<1%) the vast majority of (bin, chunk) steps are
     # empty and the K-pass merge below is by far the dominant cost.
     mf = m.astype(jnp.float32)
+    # expand per-sub-bin rows to per-ray rows
+    mexp = jnp.broadcast_to(mf[:, None, :], (G, R_bin, C)).reshape(R, C)
 
     @pl.when(jnp.max(mf) > 0.5)
     def _():
@@ -77,7 +82,7 @@ def _kernel(
             ksk = ksk + rf[:, 3 + q : 4 + q] * gf[4 + q : 5 + q, :]
         length = msk / ksk
         act = gf[3:4, :] - msk * msk / ksk
-        ok = (act < thr_act) & (mf > 0.5)
+        ok = (act < thr_act) & (mexp > 0.5)
         lm = jnp.where(ok, length, _INF)
 
         # global flattened Gaussian index: b_img * P + (c * chunk + lane)
@@ -128,10 +133,10 @@ def _kernel(
 def fine_select_mask_pallas(
     rays_feat: jax.Array,    # (nb, R_pad, FEAT) f32
     gauss_feat: jax.Array,   # (B, FEAT, P_pad) f32 per-camera feature planes
-    mask: jax.Array,         # (nb, 1, P_pad) int8 membership (0 beyond P)
+    mask: jax.Array,         # (nb, G, P_pad) int8 membership (0 beyond P)
     thr_act: float,
     K: int,
-    bh_bw: int,              # bins per image (BH*BW); b_img = b // bh_bw
+    bh_bw: int,              # (super)bins per image; b_img = b // bh_bw
     n_gauss: int,            # P (unpadded), for global index offsets
     ray_chunk: int,
     cand_chunk: int = 512,
@@ -139,7 +144,9 @@ def fine_select_mask_pallas(
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     nb, R_pad, _ = rays_feat.shape
     P_pad = gauss_feat.shape[2]
-    assert mask.ndim == 3 and mask.shape[1] == 1
+    assert mask.ndim == 3
+    G = mask.shape[1]
+    assert G == 1 or ray_chunk == R_pad, "sub-binned tiles need full-tile ray chunks"
     assert R_pad % ray_chunk == 0 and P_pad % cand_chunk == 0
     n_r = R_pad // ray_chunk
     n_c = P_pad // cand_chunk
@@ -147,7 +154,7 @@ def fine_select_mask_pallas(
     grid = (nb, n_r, n_c)
     kernel = functools.partial(
         _kernel, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
-        bh_bw=int(bh_bw), n_gauss=int(n_gauss),
+        bh_bw=int(bh_bw), n_gauss=int(n_gauss), sub_bins=int(G),
     )
     out_shapes = [
         jax.ShapeDtypeStruct((nb, R_pad, K), jnp.int32),
@@ -162,7 +169,7 @@ def fine_select_mask_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, cand_chunk), lambda b, r, c: (b, 0, c),
+            pl.BlockSpec((1, G, cand_chunk), lambda b, r, c: (b, 0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, FEAT, cand_chunk),
                          lambda b, r, c, _bw=int(bh_bw): (b // _bw, 0, c),
