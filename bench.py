@@ -62,6 +62,34 @@ def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
     return fwd_bwd, args_list, verts.shape[0]
 
 
+def build_fwd_pointcloud(n_points=100000, image_size=(320, 320)):
+    """The RenderPointClouds workload class (fixed-radius pointcloud)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.converter.converters import fixed_pointcloud_converter
+    from voge_tpu.renderer import render_pipeline
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1, 1, size=(n_points, 3)).astype(np.float32)
+    verts, isig, _ = fixed_pointcloud_converter(pts, radius=0.01)
+    verts, isig = jnp.asarray(verts), jnp.asarray(isig)
+    R, T = look_at_view_transform(dist=4, elev=20, azim=30)
+    focal = jnp.asarray([[400.0, 400.0]])
+    principal = jnp.asarray([[160.0, 160.0]])
+
+    def fwd(v):
+        frag = render_pipeline(
+            v, isig, R, T, focal, principal, image_size=tuple(image_size),
+            max_assign=20,
+        )
+        return frag.vert_weight
+
+    fn = jax.jit(fwd)
+    return fn, [(verts * (1 + 1e-4 * i),) for i in range(6)]
+
+
 def main():
     from voge_tpu.timing import measure
 
@@ -72,6 +100,12 @@ def main():
         results[f"fwdbwd_fps_{key}"] = 1.0 / t
         results[f"fwdbwd_ms_{key}"] = t * 1000
         results[f"n_gauss_{key}"] = n_actual
+
+    try:
+        fn, args_list = build_fwd_pointcloud()
+        results["fwd_ms_pointcloud_100k_320"] = measure(fn, args_list, n1=3, n2=12) * 1000
+    except Exception as e:  # keep the headline metric robust
+        results["fwd_ms_pointcloud_100k_320"] = f"failed: {e}"
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=2)

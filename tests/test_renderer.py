@@ -160,3 +160,54 @@ def test_render_settings_kwargs_swallowing():
     rs = GaussianRenderSettings(batch_size=-1, image_size=128, principal=(64, 64))
     assert rs.image_size == (128, 128)
     assert rs["max_assign"] == 20
+
+
+def test_non_square_render():
+    """Non-square image (the ExtractTexture 256x672 shape class) with
+    asymmetric principal point renders and differentiates."""
+    g = Cuboid.cuboid_gauss((-1, 1), (-1, 1), (-1, 1), 300, percentage=0.6,
+                            as_obj=True)
+    R, T = look_at_view_transform(dist=5, elev=15, azim=30)
+    focal = jnp.asarray([[150.0, 150.0]])
+    principal = jnp.asarray([[84.0, 32.0]])  # (px, py) for W=168, H=64
+    frag = render_pipeline(
+        g.verts, g.sigmas, R, T, focal, principal,
+        image_size=(64, 168), max_assign=8,
+    )
+    assert frag.vert_weight.shape == (1, 64, 168, 8)
+    assert int(frag.valid_num.sum()) > 0
+    # differentiable
+    loss = lambda v: jnp.sum(
+        render_pipeline(v, g.sigmas, R, T, focal, principal,
+                        image_size=(64, 168), max_assign=8).vert_weight ** 2
+    )
+    gv = jax.grad(loss)(g.verts)
+    assert np.isfinite(np.asarray(gv)).all() and float(jnp.abs(gv).max()) > 0
+
+
+def test_inverse_sigma_setting():
+    """inverse_sigma=True: sigmas are covariances, inverted in-pipeline."""
+    g = Cuboid.cuboid_gauss((-1, 1), (-1, 1), (-1, 1), 200, percentage=0.6,
+                            as_obj=True)
+    R, T = look_at_view_transform(dist=6, elev=10, azim=70)
+    focal = jnp.asarray([[75.0, 75.0]])
+    principal = jnp.asarray([[32.0, 32.0]])
+    isig = np.asarray(g.sigmas)
+    frag_a = render_pipeline(
+        g.verts, g.sigmas, R, T, focal, principal,
+        image_size=(64, 64), max_assign=8,
+    )
+    # passing covariances (1/isig) with inverse_sigma=True must agree
+    frag_b = render_pipeline(
+        g.verts, jnp.asarray(1.0 / isig), R, T, focal, principal,
+        image_size=(64, 64), max_assign=8, inverse_sigma=True,
+    )
+    # 1/(1/x) round-trips only to fp precision: allow rare knife-edge
+    # selection flips, compare aggregate weights loosely
+    ia, ib = np.asarray(frag_a.vert_index), np.asarray(frag_b.vert_index)
+    assert (ia != ib).mean() < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(frag_a.vert_weight).sum(-1),
+        np.asarray(frag_b.vert_weight).sum(-1),
+        rtol=1e-3, atol=0.02,
+    )
