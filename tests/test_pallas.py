@@ -62,6 +62,13 @@ def test_pallas_select_handles_empty_and_full(rng):
     assert (np.asarray(out_q[0][1]) >= 0).sum() == min(valid_cand, K) * 8
 
 
+def _identity_ids(B, P, P_pad):
+    ids = np.full((B, 1, P_pad), -1, np.int32)
+    for b in range(B):
+        ids[b, 0, :P] = np.arange(P, dtype=np.int32) + b * P
+    return jnp.asarray(ids)
+
+
 def test_mask_kernel_matches_xla(rng):
     """Streaming mask kernel (v2, interpret mode) vs the XLA mask fallback."""
     import jax
@@ -89,13 +96,16 @@ def test_mask_kernel_matches_xla(rng):
 
     mask = (rng.rand(nb, P_pad) < 0.6).astype(np.int8)
     mask[:, P:] = 0
+    ids = _identity_ids(B, P, P_pad)
 
     out_p = fine_select_mask_pallas(
-        jnp.asarray(rf), jnp.asarray(gf), jnp.asarray(mask)[:, None, :], 4.0,
-        K, bh_bw=BHBW, n_gauss=P, ray_chunk=8, cand_chunk=128, interpret=True,
+        jnp.asarray(rf), jnp.asarray(gf), jnp.asarray(mask)[:, None, :], ids,
+        4.0, K, bh_bw=BHBW, n_gauss=P, ray_chunk=8, cand_chunk=128,
+        interpret=True,
     )
     out_x = _xla_select_mask(
-        jnp.asarray(rf), jnp.asarray(gf), jnp.asarray(mask), 4.0, K, BHBW, P
+        jnp.asarray(rf), jnp.asarray(gf), jnp.asarray(mask), ids, 4.0, K,
+        BHBW, P
     )
     np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_x[0]))
     for a_, b_ in zip(out_p[1:], out_x[1:]):
@@ -126,7 +136,10 @@ def test_pallas_bwd_kernels_match_xla_bwd(rng):
     mask = overlap_mask(R_, T_, focal, principal, mus, isig_b, (H, W), 0.01, bin_size)
     thr_act = -math.log(0.01 + 1e-10)
 
-    sel = F._fine_forward_mask(mus, isig_b, rays, mask, thr_act, (bin_size, bin_size), K)
+    base_ids = (jnp.arange(P, dtype=jnp.int32)[None, :]
+                + (jnp.arange(B, dtype=jnp.int32) * P)[:, None])
+    sel = F._fine_forward_mask(mus, isig_b, rays, mask, base_ids, thr_act,
+                               (bin_size, bin_size), K)
     g = (None,
          jnp.asarray(rng.rand(B, H, W, K).astype(np.float32)),
          jnp.asarray(rng.rand(B, H, W, K).astype(np.float32)),
@@ -155,12 +168,13 @@ def test_pallas_bwd_kernels_match_xla_bwd(rng):
         F._bin_hwk(g[2], BH, BW, bin_size, bin_size, H, W, R_pad, 0.0),
         F._bin_hwk(g[3], BH, BW, bin_size, bin_size, H, W, R_pad, 0.0),
     )
+    ids_p = _identity_ids(B, P, P_pad)
     gg = fine_bwd_gauss_pallas(
-        rays_feat, gf, mf, *args, thr_act=thr_act, K=K, bh_bw=BH * BW,
+        rays_feat, gf, mf, ids_p, *args, thr_act=thr_act, K=K, bh_bw=BH * BW,
         n_gauss=P, ray_chunk=8, cand_chunk=cand_chunk, interpret=True,
     )
     rb = fine_bwd_rays_pallas(
-        rays_feat, gf, mf, *args, thr_act=thr_act, K=K, bh_bw=BH * BW,
+        rays_feat, gf, mf, ids_p, *args, thr_act=thr_act, K=K, bh_bw=BH * BW,
         n_gauss=P, ray_chunk=8, cand_chunk=cand_chunk, interpret=True,
     )
     gm_p = np.asarray(jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1))
@@ -216,14 +230,15 @@ def test_mask_kernel_supertiled_matches_xla(rng):
     mask[:, P:] = 0
 
     rf_j = jnp.asarray(rf)
+    ids = _identity_ids(B, P, P_pad)
     out_x = _xla_select_mask(
-        rf_j, jnp.asarray(gf), jnp.asarray(mask), 4.0, K, BH * BW, P
+        rf_j, jnp.asarray(gf), jnp.asarray(mask), ids, 4.0, K, BH * BW, P
     )
 
     rf_g, BH2, BW2 = _group_supertiles(rf_j, B, BH, BW)
     mask_g, _, _ = _group_supertiles(jnp.asarray(mask)[:, None, :], B, BH, BW)
     out_g = fine_select_mask_pallas(
-        rf_g, jnp.asarray(gf), mask_g, 4.0, K,
+        rf_g, jnp.asarray(gf), mask_g, ids, 4.0, K,
         bh_bw=BH2 * BW2, n_gauss=P, ray_chunk=rf_g.shape[1],
         cand_chunk=128, interpret=True,
     )
@@ -231,3 +246,52 @@ def test_mask_kernel_supertiled_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_x[0]))
     for a_, b_ in zip(out_p[1:], out_x[1:]):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5)
+
+
+def test_bin_coherent_sorting_parity(rng):
+    """Sorted candidates + ids plane produce the same selection (same
+    original indices) as identity order, via the XLA mask fallback."""
+    import math
+    import voge_tpu.ops.fine as F
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.rays import camera_rays
+    from voge_tpu.ops.coarse import overlap_mask
+
+    B, H, W, P, K = 2, 20, 20, 80, 6
+    mus_w = rng.uniform(-1, 1, size=(P, 3)).astype(np.float32) * 0.8
+    a = rng.uniform(-1, 1, size=(P, 3, 3)).astype(np.float32)
+    isig = np.einsum("pij,pkj->pik", a, a) + 2 * np.eye(3, dtype=np.float32)
+    R_, T_ = look_at_view_transform(dist=[4.0, 5.0], elev=[5.0, 25.0],
+                                    azim=[10.0, 50.0])
+    focal = jnp.broadcast_to(jnp.asarray([[30.0, 30.0]]), (B, 2))
+    principal = jnp.broadcast_to(jnp.asarray([[10.0, 10.0]]), (B, 2))
+    rays, origins = camera_rays(R_, T_, focal, principal, (H, W))
+    mus = jnp.asarray(mus_w)[None] - origins[:, None, :]
+    isig_b = jnp.broadcast_to(jnp.asarray(isig)[None], (B, P, 3, 3))
+    bin_size = 5
+    thr_act = -math.log(0.01 + 1e-10)
+    base_ids = (jnp.arange(P, dtype=jnp.int32)[None, :]
+                + (jnp.arange(B, dtype=jnp.int32) * P)[:, None])
+
+    mask_id = overlap_mask(R_, T_, focal, principal, mus, isig_b, (H, W),
+                           0.01, bin_size)
+    sel_id = F._fine_forward_mask(mus, isig_b, rays, mask_id, base_ids,
+                                  thr_act, (bin_size, bin_size), K)
+
+    pts_s, isg_s, ids_s = F._sort_bin_coherent(
+        R_, T_, focal, principal, mus, isig_b, (H, W), bin_size, base_ids)
+    # the permutation really reorders something
+    assert not np.array_equal(np.asarray(ids_s), np.asarray(base_ids))
+    mask_s = overlap_mask(R_, T_, focal, principal, pts_s, isg_s, (H, W),
+                          0.01, bin_size)
+    sel_s = F._fine_forward_mask(pts_s, isg_s, rays, mask_s, ids_s,
+                                 thr_act, (bin_size, bin_size), K)
+
+    # same original indices selected per pixel (as sets; tie order within
+    # identical lengths may differ), and same lengths/acts sorted by length
+    np.testing.assert_allclose(np.asarray(sel_s[1]), np.asarray(sel_id[1]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(sel_s[0]), axis=-1),
+        np.sort(np.asarray(sel_id[0]), axis=-1),
+    )

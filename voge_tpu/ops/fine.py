@@ -322,7 +322,7 @@ def _rays_features(rays: jax.Array, BH, BW, bsh, bsw):
     return rays_feat, R, R_pad
 
 
-def _xla_select_mask(rays_feat, gauss_feat, mask, thr_act: float, K: int,
+def _xla_select_mask(rays_feat, gauss_feat, mask, ids, thr_act: float, K: int,
                      bh_bw: int, n_gauss: int):
     """XLA fallback for the mask path (CPU / oversize shapes)."""
     nb, R_pad, _ = rays_feat.shape
@@ -340,11 +340,7 @@ def _xla_select_mask(rays_feat, gauss_feat, mask, thr_act: float, K: int,
     kk = min(K, P_pad)
     neg_vals, args = jax.lax.top_k(-lm, kk)
     sel_ok = jnp.take_along_axis(ok, args, axis=-1)
-    b_img = jnp.arange(nb, dtype=jnp.int32) // bh_bw
-    gidx = (
-        jnp.arange(P_pad, dtype=jnp.int32)[None, None, :]
-        + (b_img * n_gauss)[:, None, None]
-    )
+    gidx = jnp.repeat(ids[:, 0, :], bh_bw, axis=0)[:, None, :]  # (nb, 1, P_pad)
     gidx = jnp.broadcast_to(gidx, ok.shape)
     sel_idx = jnp.where(sel_ok, jnp.take_along_axis(gidx, args, axis=-1), -1)
     sel_len = jnp.where(sel_ok, -neg_vals, _SENTINEL_LEN)
@@ -359,23 +355,39 @@ def _xla_select_mask(rays_feat, gauss_feat, mask, thr_act: float, K: int,
     return sel_idx.astype(jnp.int32), sel_len, sel_act, sel_dsd
 
 
+def _prep_ids(ids: jax.Array, P: int, P_pad: int) -> jax.Array:
+    """(B, P) int32 original global ids -> (B, 1, P_pad), -1 padded."""
+    ids = ids.astype(jnp.int32)
+    if P_pad > P:
+        ids = jnp.pad(ids, ((0, 0), (0, P_pad - P)), constant_values=-1)
+    return ids[:, None, :]
+
+
 def _fine_forward_mask(
     mus: jax.Array,        # (B, P, 3) camera-centered
     isigmas: jax.Array,    # (B, P, 3, 3)
     rays: jax.Array,       # (B, H, W, 3)
     mask: jax.Array,       # (B, BH, BW, P) bool/int8 membership
+    ids: jax.Array,        # (B, P) int32 original global flattened ids
     thr_act: float,
     bin_size: Tuple[int, int],
     K: int,
 ):
-    from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
+    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size)
+    return _mask_path_select(prep, thr_act, K)[0]
 
+
+def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size):
+    """Build the kernel-ready tensors (gauss feature planes, grouped
+    membership mask, ids plane, grouped ray features) plus the static
+    geometry.  Shared by forward and backward so the backward can reuse the
+    forward's tensors from the VJP residuals instead of re-shuffling."""
     B, H, W, _ = rays.shape
     _, BH, BW, P = mask.shape
     bsh, bsw = bin_size
     nb = B * BH * BW
 
-    cand_chunk = 1024
+    cand_chunk = _pick_cand_chunk(P)
     P_pad = _ceil_to(max(P, cand_chunk), cand_chunk)
     gauss_feat = _gauss_feature_planes_batched(mus, isigmas)
     if P_pad > P:
@@ -383,48 +395,82 @@ def _fine_forward_mask(
     mask_flat = mask.reshape(nb, P).astype(jnp.int8)
     if P_pad > P:
         mask_flat = jnp.pad(mask_flat, ((0, 0), (0, P_pad - P)))
+    ids_p = _prep_ids(ids, P, P_pad)
 
     rays_feat, R, R_pad = _rays_features(rays, BH, BW, bsh, bsw)
 
     use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and BH * BW > 1:
+    grouped = use_pallas and BH * BW > 1
+    if grouped:
         # supertile: 2x2 bins per kernel step (4x fewer grid steps; each
         # ray keeps its own bin's membership row)
-        rf_g, BH2, BW2 = _group_supertiles(rays_feat, B, BH, BW)
-        mask_g, _, _ = _group_supertiles(mask_flat[:, None, :], B, BH, BW)
-        sel_g = fine_select_mask_pallas(
-            rf_g, gauss_feat, mask_g, thr_act, K,
-            bh_bw=BH2 * BW2, n_gauss=P, ray_chunk=rf_g.shape[1],
-            cand_chunk=cand_chunk,
-        )
-        sel = tuple(_ungroup_supertiles(x, B, BH, BW) for x in sel_g)
-    elif use_pallas:
+        rf_k, BH2, BW2 = _group_supertiles(rays_feat, B, BH, BW)
+        mask_k, _, _ = _group_supertiles(mask_flat[:, None, :], B, BH, BW)
+        bh_bw, rc = BH2 * BW2, rf_k.shape[1]
+    else:
+        rf_k, mask_k = rays_feat, mask_flat[:, None, :]
         # bound the (ray_chunk x cand_chunk) working set: largest divisor of
         # R_pad that is a multiple of 8 and <= 256
-        rc = _pick_rc(R_pad)
-        sel = fine_select_mask_pallas(
-            rays_feat, gauss_feat, mask_flat[:, None, :], thr_act, K,
-            bh_bw=BH * BW, n_gauss=P, ray_chunk=rc, cand_chunk=cand_chunk,
+        bh_bw, rc = BH * BW, _pick_rc(R_pad)
+    return dict(
+        rf_k=rf_k, mask_k=mask_k, ids_p=ids_p, gauss_feat=gauss_feat,
+        use_pallas=use_pallas, grouped=grouped, bh_bw=bh_bw, rc=rc,
+        cand_chunk=cand_chunk, B=B, H=H, W=W, P=P, BH=BH, BW=BW,
+        bsh=bsh, bsw=bsw, R=R, R_pad=R_pad,
+    )
+
+
+def _mask_path_select(prep, thr_act, K):
+    """Run the selection kernel on prepped tensors; returns (sel, prep)."""
+    from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
+
+    p = prep
+    B, BH, BW, H, W = p["B"], p["BH"], p["BW"], p["H"], p["W"]
+    if p["use_pallas"]:
+        sel_k = fine_select_mask_pallas(
+            p["rf_k"], p["gauss_feat"], p["mask_k"], p["ids_p"], thr_act, K,
+            bh_bw=p["bh_bw"], n_gauss=p["P"], ray_chunk=p["rc"],
+            cand_chunk=p["cand_chunk"],
         )
+        if p["grouped"]:
+            sel = tuple(_ungroup_supertiles(x, B, BH, BW) for x in sel_k)
+        else:
+            sel = sel_k
     else:
         sel = _xla_select_mask(
-            rays_feat, gauss_feat, mask_flat, thr_act, K, BH * BW, P
+            p["rf_k"], p["gauss_feat"], p["mask_k"][:, 0, :], p["ids_p"],
+            thr_act, K, p["bh_bw"], p["P"],
         )
-
     out = []
     for x in sel:
-        out.append(_unbin(x[:, :R, :], B, BH, BW, H, W, bsh, bsw))
-    return tuple(out)
+        out.append(_unbin(x[:, : p["R"], :], B, BH, BW, H, W, p["bsh"], p["bsw"]))
+    return tuple(out), prep
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _ray_trace_fine_mask(mus, isigmas, rays, mask, thr_act, bin_size, K):
-    return _fine_forward_mask(mus, isigmas, rays, mask, thr_act, bin_size, K)
+def _pick_cand_chunk(P: int) -> int:
+    """Candidate chunk width.  With bin-coherent candidate ordering a
+    supertile's members cluster into few chunks and most steps are skipped.
+    Measured on v5e at the 10K/256^2 workload: 1024 beats 256/512/2048 —
+    narrower chunks lose to per-merge-pass fixed costs, wider to merge
+    width."""
+    return 1024
 
 
-def _ray_trace_fine_mask_fwd(mus, isigmas, rays, mask, thr_act, bin_size, K):
-    out = _fine_forward_mask(mus, isigmas, rays, mask, thr_act, bin_size, K)
-    return out, (mus, isigmas, rays, out[0], mask)
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _ray_trace_fine_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
+    return _fine_forward_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K)
+
+
+def _ray_trace_fine_mask_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
+    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size)
+    out, _ = _mask_path_select(prep, thr_act, K)
+    # Save the kernel-ready tensors: rebuilding the grouped ray features /
+    # mask costs ~5 ms of pure layout shuffles at the 256^2 workload.
+    saved = (
+        (prep["rf_k"], prep["mask_k"], prep["ids_p"], prep["gauss_feat"])
+        if prep["use_pallas"] else None
+    )
+    return out, (mus, isigmas, rays, out[0], mask, ids, saved)
 
 
 def _bin_hwk(x: jax.Array, BH, BW, bsh, bsw, H, W, R_pad, pad_value):
@@ -486,11 +532,12 @@ def _pick_rc(R_pad: int) -> int:
 
 
 def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
-    mus, isigmas, rays, sel_idx, mask = res
+    mus, isigmas, rays, sel_idx, mask, ids, saved = res
     B, P = mus.shape[0], mus.shape[1]
     g_mask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    g_ids = np.zeros(ids.shape, dtype=jax.dtypes.float0)
 
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and saved is not None:
         from voge_tpu.ops.pallas_bwd import (
             fine_bwd_gauss_pallas,
             fine_bwd_rays_pallas,
@@ -500,16 +547,10 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
         _, BH, BW, _ = mask.shape
         bsh, bsw = bin_size
         H, W = rays.shape[1], rays.shape[2]
-        cand_chunk = 1024
-        P_pad = _ceil_to(max(P, cand_chunk), cand_chunk)
-        gauss_feat = _gauss_feature_planes_batched(mus, isigmas)
-        if P_pad > P:
-            gauss_feat = jnp.pad(gauss_feat, ((0, 0), (0, 0), (0, P_pad - P)))
-        mask_flat = mask.reshape(B * BH * BW, P).astype(jnp.int8)
-        if P_pad > P:
-            mask_flat = jnp.pad(mask_flat, ((0, 0), (0, P_pad - P)))
-        mask_flat = mask_flat[:, None, :]
-        rays_feat, R, R_pad = _rays_features(rays, BH, BW, bsh, bsw)
+        cand_chunk = _pick_cand_chunk(P)
+        rays_feat, mask_flat, ids_p, gauss_feat = saved
+        R = bsh * bsw
+        R_pad = _ceil_to(R, 8)
 
         args = (
             _bin_hwk(sel_idx, BH, BW, bsh, bsw, H, W, R_pad, -1),
@@ -517,9 +558,9 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
             _bin_hwk(g_act, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
             _bin_hwk(g_dsd, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
         )
-        if BH * BW > 1:  # supertile 2x2 bins, like the forward
-            rays_feat, BH2, BW2 = _group_supertiles(rays_feat, B, BH, BW)
-            mask_flat, _, _ = _group_supertiles(mask_flat, B, BH, BW)
+        if BH * BW > 1:  # supertile 2x2 bins, like the forward (saved
+            # rays_feat / mask_flat are already grouped)
+            BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
             args = tuple(
                 _group_supertiles(a, B, BH, BW)[0] for a in args
             )
@@ -529,12 +570,12 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
             bh_bw = BH * BW
             rc = _pick_rc(R_pad)
         gg = fine_bwd_gauss_pallas(
-            rays_feat, gauss_feat, mask_flat, *args,
+            rays_feat, gauss_feat, mask_flat, ids_p, *args,
             thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
             ray_chunk=rc, cand_chunk=cand_chunk,
         )
         rb = fine_bwd_rays_pallas(
-            rays_feat, gauss_feat, mask_flat, *args,
+            rays_feat, gauss_feat, mask_flat, ids_p, *args,
             thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
             ray_chunk=rc, cand_chunk=cand_chunk,
         )
@@ -545,11 +586,18 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
             [gg[:, 3 + q, :P] for q in range(9)], axis=-1
         ).reshape(B, P, 3, 3)
         grad_rays = _unbin(rb[:, : bsh * bsw, 0:3], B, BH, BW, H, W, bsh, bsw)
-        return grad_mus, grad_isg, grad_rays, g_mask
+        return grad_mus, grad_isg, grad_rays, g_mask, g_ids
 
+    # CPU fallback: the entry-space backward gathers Gaussian features by
+    # table position, but sel_idx stores ORIGINAL global ids; translate via
+    # the inverse of the ids permutation (identity when no reordering).
+    inv = jnp.zeros((B * P,), jnp.int32).at[ids.reshape(-1)].set(
+        jnp.arange(B * P, dtype=jnp.int32)
+    )
+    sel_pos = jnp.where(sel_idx >= 0, inv[jnp.where(sel_idx >= 0, sel_idx, 0)], -1)
     grad_mus, grad_isg, grad_rays, _ = _ray_trace_fine_bwd(
         thr_act, bin_size, K,
-        (mus.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays, sel_idx, mask),
+        (mus.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays, sel_pos, mask),
         g,
     )
     return (
@@ -557,6 +605,7 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
         grad_isg.reshape(B, P, 3, 3),
         grad_rays,
         g_mask,
+        g_ids,
     )
 
 
@@ -629,9 +678,14 @@ def ray_tracing(
     # truncated at max_points_per_bin (the reference's overflow behavior is
     # a nondeterministic silent drop, rasterize_coarse.cu:154-170; without
     # overflow the selections are identical).
+    base_ids = (
+        jnp.arange(P, dtype=jnp.int32)[None, :]
+        + (jnp.arange(B, dtype=jnp.int32) * P)[:, None]
+    )
     if mppb == -1:
         mask = jnp.ones((B, 1, 1, P), dtype=jnp.int8)
         eff_bin = (H, W)
+        ids = base_ids
     elif jax.default_backend() != "tpu":
         # CPU/fallback with culling: the compacted-list gather path bounds
         # the dense hit tensors at (bins, R, max_points_per_bin) instead of
@@ -647,6 +701,15 @@ def ray_tracing(
     else:
         from voge_tpu.ops.coarse import overlap_mask
 
+        # Bin-coherent candidate ordering: sort Gaussians by the Morton code
+        # of their projected supertile so each supertile's candidates cluster
+        # into few chunks; the streaming kernel then skips the (vast)
+        # majority of (supertile, chunk) steps.  Original ids ride along as a
+        # streamed plane, so outputs keep original indexing for free.
+        points, isigmas, ids = _sort_bin_coherent(
+            R, T, focal, principal, points, isigmas, (H, W),
+            bin_size_cfg, base_ids,
+        )
         mask = overlap_mask(
             R, T, focal, principal, points, isigmas, (H, W), thr,
             bin_size_cfg,
@@ -654,6 +717,43 @@ def ray_tracing(
         eff_bin = (bin_size_cfg, bin_size_cfg)
 
     return _ray_trace_fine_mask(
-        points, isigmas, rays, mask, float(thr_act), tuple(eff_bin),
+        points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
         int(n_assign),
     )
+
+
+def _morton16(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Interleave the low 16 bits of two int32 grids (Z-order curve)."""
+    def spread(v):
+        v = v & 0xFFFF
+        v = (v | (v << 8)) & 0x00FF00FF
+        v = (v | (v << 4)) & 0x0F0F0F0F
+        v = (v | (v << 2)) & 0x33333333
+        v = (v | (v << 1)) & 0x55555555
+        return v
+
+    return spread(x) | (spread(y) << 1)
+
+
+def _sort_bin_coherent(
+    R, T, focal, principal, points, isigmas, image_size, bin_size, base_ids,
+):
+    """Sort Gaussians (per batch) by the Morton code of the 2x2-bin
+    supertile containing their projected center; off-screen / behind-camera
+    Gaussians sort last.  Returns (points, isigmas, ids) permuted, where
+    ``ids`` carries the original global flattened indices."""
+    from voge_tpu.ops.coarse import _camera_planes
+
+    H, W = int(image_size[0]), int(image_size[1])
+    st = 2 * bin_size
+    u, v, z = _camera_planes(R, T, focal, principal, points)
+    sx = jnp.clip((u / st).astype(jnp.int32), 0, (W - 1) // st)
+    sy = jnp.clip((v / st).astype(jnp.int32), 0, (H - 1) // st)
+    key = _morton16(sx, sy)
+    invalid = (z <= 0) | (u < -st) | (u > W + st) | (v < -st) | (v > H + st)
+    key = jnp.where(invalid, jnp.int32(0x7FFFFFFF), key)
+    perm = jnp.argsort(key, axis=1, stable=True)               # (B, P)
+    pts = jnp.take_along_axis(points, perm[:, :, None], axis=1)
+    isg = jnp.take_along_axis(isigmas, perm[:, :, None, None], axis=1)
+    ids = jnp.take_along_axis(base_ids, perm, axis=1)
+    return pts, isg, ids

@@ -36,14 +36,12 @@ from voge_tpu.ops.pallas_fine import FEAT
 _INF = 1e10
 
 
-def _coeffs_and_forms(rf, gf, m, sel, gl, ga, gd, c, b, chunk, bh_bw, n_gauss, K):
+def _coeffs_and_forms(rf, gf, ids, sel, gl, ga, gd, K):
     """Shared reconstruction: selection coefficient matrices and the chain
     gradients (g_ksk, g_msk, g_msm), each (R, C)."""
     R = rf.shape[0]
     C = gf.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    b_img = b // bh_bw
-    gidx = lane + (c * chunk + b_img * n_gauss)                 # (1, C)
+    gidx = ids                                                  # (1, C)
 
     Gl = jnp.zeros((R, C), jnp.float32)
     Ga = jnp.zeros((R, C), jnp.float32)
@@ -68,7 +66,7 @@ def _coeffs_and_forms(rf, gf, m, sel, gl, ga, gd, c, b, chunk, bh_bw, n_gauss, K
 
 
 def _bwd_gauss_kernel(
-    mask_ref, gf_ref, rf_ref, sel_ref, gl_ref, ga_ref, gd_ref,
+    mask_ref, gf_ref, ids_ref, rf_ref, sel_ref, gl_ref, ga_ref, gd_ref,
     out_ref,  # (1, FEAT, C) accumulated gradient planes
     *, thr_act: float, K: int, chunk: int, bh_bw: int, n_gauss: int,
 ):
@@ -89,8 +87,7 @@ def _bwd_gauss_kernel(
         rf = rf_ref[0]
         gf = gf_ref[0]
         g_ksk, g_msk, g_msm = _coeffs_and_forms(
-            rf, gf, m, sel_ref[0], gl_ref[0], ga_ref[0], gd_ref[0],
-            c, b, chunk, bh_bw, n_gauss, K,
+            rf, gf, ids_ref[0], sel_ref[0], gl_ref[0], ga_ref[0], gd_ref[0], K,
         )
         # column reductions over rays
         S1 = jnp.sum(g_msm, axis=0, keepdims=True)               # (1, C)
@@ -120,7 +117,7 @@ def _bwd_gauss_kernel(
 
 
 def _bwd_rays_kernel(
-    mask_ref, gf_ref, rf_ref, sel_ref, gl_ref, ga_ref, gd_ref,
+    mask_ref, gf_ref, ids_ref, rf_ref, sel_ref, gl_ref, ga_ref, gd_ref,
     out_ref,  # (1, R, FEAT) per-ray gradient (cols 0..2 used)
     acc,      # (R, FEAT) scratch
     *, thr_act: float, K: int, chunk: int, bh_bw: int, n_gauss: int,
@@ -142,8 +139,7 @@ def _bwd_rays_kernel(
         gf = gf_ref[0]
         R = rf.shape[0]
         g_ksk, g_msk, g_msm = _coeffs_and_forms(
-            rf, gf, m, sel_ref[0], gl_ref[0], ga_ref[0], gd_ref[0],
-            c, b, chunk, bh_bw, n_gauss, K,
+            rf, gf, ids_ref[0], sel_ref[0], gl_ref[0], ga_ref[0], gd_ref[0], K,
         )
         L = [[gf[4 + i * 3 + j : 5 + i * 3 + j, :] for j in range(3)] for i in range(3)]
         mu = [gf[13 + i : 14 + i, :] for i in range(3)]
@@ -179,13 +175,14 @@ def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order, G=1):
     return [
         pl.BlockSpec((1, G, cand_chunk), mask_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, FEAT, cand_chunk), gf_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cand_chunk), gf_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, ray_chunk, FEAT), rf_map, memory_space=pltpu.VMEM),
         slot, slot, slot, slot,
     ]
 
 
 def fine_bwd_gauss_pallas(
-    rays_feat, gauss_feat, mask, sel_b, gl_b, ga_b, gd_b,
+    rays_feat, gauss_feat, mask, ids, sel_b, gl_b, ga_b, gd_b,
     thr_act: float, K: int, bh_bw: int, n_gauss: int,
     ray_chunk: int, cand_chunk: int = 512, interpret: bool = False,
 ):
@@ -214,11 +211,11 @@ def fine_bwd_gauss_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(mask, gauss_feat, rays_feat, sel_b, gl_b, ga_b, gd_b)
+    )(mask, gauss_feat, ids, rays_feat, sel_b, gl_b, ga_b, gd_b)
 
 
 def fine_bwd_rays_pallas(
-    rays_feat, gauss_feat, mask, sel_b, gl_b, ga_b, gd_b,
+    rays_feat, gauss_feat, mask, ids, sel_b, gl_b, ga_b, gd_b,
     thr_act: float, K: int, bh_bw: int, n_gauss: int,
     ray_chunk: int, cand_chunk: int = 512, interpret: bool = False,
 ):
@@ -246,4 +243,4 @@ def fine_bwd_rays_pallas(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(mask, gauss_feat, rays_feat, sel_b, gl_b, ga_b, gd_b)
+    )(mask, gauss_feat, ids, rays_feat, sel_b, gl_b, ga_b, gd_b)

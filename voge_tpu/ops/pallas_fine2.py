@@ -38,6 +38,7 @@ _RUNW = 128  # running-state lane width (>= K, lane-aligned)
 def _kernel(
     mask_ref,   # (1, G, C) int8 membership (one row per sub-bin)
     gf_ref,     # (1, FEAT, C) f32 Gaussian feature planes (batch b_img)
+    ids_ref,    # (1, 1, C) int32 global flattened ORIGINAL candidate ids
     rf_ref,     # (1, R, FEAT) f32 ray features (G sub-bins' rays stacked)
     oi_ref, ol_ref, oa_ref, od_ref,   # (1, R, K) outputs
     run_len, run_act, run_dsd, run_idx,  # (R, _RUNW) scratch
@@ -85,10 +86,9 @@ def _kernel(
         ok = (act < thr_act) & (mexp > 0.5)
         lm = jnp.where(ok, length, _INF)
 
-        # global flattened Gaussian index: b_img * P + (c * chunk + lane)
-        b_img = b // bh_bw
-        lane = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
-        gidx = lane + (c * chunk + b_img * n_gauss)
+        # global flattened ORIGINAL Gaussian ids come from the streamed ids
+        # plane (supports bin-coherent candidate reordering upstream)
+        gidx = jnp.broadcast_to(ids_ref[0], (R, C))
 
         # merge running state (first: earlier chunks win ties) with chunk
         cat_len = jnp.concatenate([run_len[:], lm], axis=1)
@@ -134,6 +134,7 @@ def fine_select_mask_pallas(
     rays_feat: jax.Array,    # (nb, R_pad, FEAT) f32
     gauss_feat: jax.Array,   # (B, FEAT, P_pad) f32 per-camera feature planes
     mask: jax.Array,         # (nb, G, P_pad) int8 membership (0 beyond P)
+    ids: jax.Array,          # (B, 1, P_pad) int32 global original ids
     thr_act: float,
     K: int,
     bh_bw: int,              # (super)bins per image; b_img = b // bh_bw
@@ -145,6 +146,7 @@ def fine_select_mask_pallas(
     nb, R_pad, _ = rays_feat.shape
     P_pad = gauss_feat.shape[2]
     assert mask.ndim == 3
+    assert ids.shape == (gauss_feat.shape[0], 1, P_pad)
     G = mask.shape[1]
     assert G == 1 or ray_chunk == R_pad, "sub-binned tiles need full-tile ray chunks"
     assert R_pad % ray_chunk == 0 and P_pad % cand_chunk == 0
@@ -174,6 +176,9 @@ def fine_select_mask_pallas(
             pl.BlockSpec((1, FEAT, cand_chunk),
                          lambda b, r, c, _bw=int(bh_bw): (b // _bw, 0, c),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cand_chunk),
+                         lambda b, r, c, _bw=int(bh_bw): (b // _bw, 0, c),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ray_chunk, FEAT), lambda b, r, c: (b, r, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -194,4 +199,4 @@ def fine_select_mask_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(mask, gauss_feat, rays_feat)
+    )(mask, gauss_feat, ids, rays_feat)
