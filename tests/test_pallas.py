@@ -278,7 +278,7 @@ def test_bin_coherent_sorting_parity(rng):
     sel_id = F._fine_forward_mask(mus, isig_b, rays, mask_id, base_ids,
                                   thr_act, (bin_size, bin_size), K)
 
-    pts_s, isg_s, ids_s = F._sort_bin_coherent(
+    pts_s, isg_s, ids_s, _perm = F._sort_bin_coherent(
         R_, T_, focal, principal, mus, isig_b, (H, W), bin_size, base_ids)
     # the permutation really reorders something
     assert not np.array_equal(np.asarray(ids_s), np.asarray(base_ids))

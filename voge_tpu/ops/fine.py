@@ -456,14 +456,47 @@ def _pick_cand_chunk(P: int) -> int:
     return 1024
 
 
+def _mask_path_select_kern(prep, thr_act, K):
+    """Selection in KERNEL layout (grouped supertiles on TPU): returns the
+    4-tuple (sel_idx, sel_len, sel_act, sel_dsd), each (nst, R_kern, K)."""
+    from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
+
+    p = prep
+    if p["use_pallas"]:
+        return fine_select_mask_pallas(
+            p["rf_k"], p["gauss_feat"], p["mask_k"], p["ids_p"], thr_act, K,
+            bh_bw=p["bh_bw"], n_gauss=p["P"], ray_chunk=p["rc"],
+            cand_chunk=p["cand_chunk"],
+        )
+    return _xla_select_mask(
+        p["rf_k"], p["gauss_feat"], p["mask_k"][:, 0, :], p["ids_p"],
+        thr_act, K, p["bh_bw"], p["P"],
+    )
+
+
+def unbin_kern(x, B, BH, BW, H, W, bsh, bsw, grouped):
+    """Kernel layout (nst, R_kern, K) -> image layout (B, H, W, K)."""
+    if grouped:
+        x = _ungroup_supertiles(x, B, BH, BW)
+    return _unbin(x[:, : bsh * bsw, :], B, BH, BW, H, W, bsh, bsw)
+
+
+def _is_grouped(BH, BW):
+    return jax.default_backend() == "tpu" and BH * BW > 1
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _ray_trace_fine_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
-    return _fine_forward_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K)
-
-
-def _ray_trace_fine_mask_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
+def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
+    """Fine selection with the custom-VJP boundary at KERNEL layout: callers
+    (renderer) run aggregation in this layout and unbin once for Fragments,
+    so backward cotangents arrive without any re-binning shuffles."""
     prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size)
-    out, _ = _mask_path_select(prep, thr_act, K)
+    return _mask_path_select_kern(prep, thr_act, K)
+
+
+def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
+    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size)
+    out = _mask_path_select_kern(prep, thr_act, K)
     # Save the kernel-ready tensors: rebuilding the grouped ray features /
     # mask costs ~5 ms of pure layout shuffles at the 256^2 workload.
     saved = (
@@ -471,6 +504,18 @@ def _ray_trace_fine_mask_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K
         if prep["use_pallas"] else None
     )
     return out, (mus, isigmas, rays, out[0], mask, ids, saved)
+
+
+def _ray_trace_fine_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
+    """Image-layout interface over :func:`_rt_fine_kern` (legacy/tests)."""
+    sel_k = _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K)
+    B, H, W, _ = rays.shape
+    _, BH, BW, _ = mask.shape
+    bsh, bsw = bin_size
+    grouped = _is_grouped(BH, BW)
+    return tuple(
+        unbin_kern(x, B, BH, BW, H, W, bsh, bsw, grouped) for x in sel_k
+    )
 
 
 def _bin_hwk(x: jax.Array, BH, BW, bsh, bsw, H, W, R_pad, pad_value):
@@ -531,11 +576,15 @@ def _pick_rc(R_pad: int) -> int:
     return 8
 
 
-def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
-    mus, isigmas, rays, sel_idx, mask, ids, saved = res
+def _rt_fine_kern_bwd(thr_act, bin_size, K, res, g):
+    mus, isigmas, rays, sel_idx_k, mask, ids, saved = res
     B, P = mus.shape[0], mus.shape[1]
     g_mask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
     g_ids = np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    _, BH, BW, _ = mask.shape
+    bsh, bsw = bin_size
+    H, W = rays.shape[1], rays.shape[2]
+    grouped = _is_grouped(BH, BW)
 
     if jax.default_backend() == "tpu" and saved is not None:
         from voge_tpu.ops.pallas_bwd import (
@@ -543,54 +592,44 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
             fine_bwd_rays_pallas,
         )
 
-        _, g_len, g_act, g_dsd = g
-        _, BH, BW, _ = mask.shape
-        bsh, bsw = bin_size
-        H, W = rays.shape[1], rays.shape[2]
+        # cotangents arrive in kernel layout — no re-binning needed
+        _, g_len_k, g_act_k, g_dsd_k = g
         cand_chunk = _pick_cand_chunk(P)
-        rays_feat, mask_flat, ids_p, gauss_feat = saved
-        R = bsh * bsw
-        R_pad = _ceil_to(R, 8)
-
-        args = (
-            _bin_hwk(sel_idx, BH, BW, bsh, bsw, H, W, R_pad, -1),
-            _bin_hwk(g_len, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
-            _bin_hwk(g_act, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
-            _bin_hwk(g_dsd, BH, BW, bsh, bsw, H, W, R_pad, 0.0),
-        )
-        if BH * BW > 1:  # supertile 2x2 bins, like the forward (saved
-            # rays_feat / mask_flat are already grouped)
+        rays_feat, mask_k, ids_p, gauss_feat = saved
+        R_pad = _ceil_to(bsh * bsw, 8)
+        args = (sel_idx_k, g_len_k, g_act_k, g_dsd_k)
+        if grouped:
             BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
-            args = tuple(
-                _group_supertiles(a, B, BH, BW)[0] for a in args
-            )
-            bh_bw = BH2 * BW2
-            rc = rays_feat.shape[1]
+            bh_bw, rc = BH2 * BW2, rays_feat.shape[1]
         else:
-            bh_bw = BH * BW
-            rc = _pick_rc(R_pad)
+            bh_bw, rc = BH * BW, _pick_rc(R_pad)
         gg = fine_bwd_gauss_pallas(
-            rays_feat, gauss_feat, mask_flat, ids_p, *args,
+            rays_feat, gauss_feat, mask_k, ids_p, *args,
             thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
             ray_chunk=rc, cand_chunk=cand_chunk,
         )
         rb = fine_bwd_rays_pallas(
-            rays_feat, gauss_feat, mask_flat, ids_p, *args,
+            rays_feat, gauss_feat, mask_k, ids_p, *args,
             thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
             ray_chunk=rc, cand_chunk=cand_chunk,
         )
-        if BH * BW > 1:
-            rb = _ungroup_supertiles(rb, B, BH, BW)
         grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
         grad_isg = jnp.stack(
             [gg[:, 3 + q, :P] for q in range(9)], axis=-1
         ).reshape(B, P, 3, 3)
-        grad_rays = _unbin(rb[:, : bsh * bsw, 0:3], B, BH, BW, H, W, bsh, bsw)
+        grad_rays = unbin_kern(
+            rb[..., 0:3], B, BH, BW, H, W, bsh, bsw, grouped
+        )
         return grad_mus, grad_isg, grad_rays, g_mask, g_ids
 
-    # CPU fallback: the entry-space backward gathers Gaussian features by
-    # table position, but sel_idx stores ORIGINAL global ids; translate via
+    # CPU fallback: unbin the kernel-layout selections/cotangents, then run
+    # the entry-space backward.  sel_idx stores ORIGINAL global ids while the
+    # feature table is in candidate (possibly sorted) order; translate via
     # the inverse of the ids permutation (identity when no reordering).
+    sel_idx = unbin_kern(sel_idx_k, B, BH, BW, H, W, bsh, bsw, grouped)
+    g_img = (None,) + tuple(
+        unbin_kern(x, B, BH, BW, H, W, bsh, bsw, grouped) for x in g[1:]
+    )
     inv = jnp.zeros((B * P,), jnp.int32).at[ids.reshape(-1)].set(
         jnp.arange(B * P, dtype=jnp.int32)
     )
@@ -598,7 +637,7 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
     grad_mus, grad_isg, grad_rays, _ = _ray_trace_fine_bwd(
         thr_act, bin_size, K,
         (mus.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays, sel_pos, mask),
-        g,
+        g_img,
     )
     return (
         grad_mus.reshape(B, P, 3),
@@ -609,7 +648,7 @@ def _ray_trace_fine_mask_bwd(thr_act, bin_size, K, res, g):
     )
 
 
-_ray_trace_fine_mask.defvjp(_ray_trace_fine_mask_fwd, _ray_trace_fine_mask_bwd)
+_rt_fine_kern.defvjp(_rt_fine_kern_fwd, _rt_fine_kern_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -647,6 +686,7 @@ def ray_tracing(
     cameras_or_params, points: jax.Array, isigmas: jax.Array,
     rays: jax.Array, image_size, thr: float, n_assign: int,
     bin_size: Optional[int] = None, max_points_per_bin: Optional[int] = None,
+    return_ctx: bool = False,
     **kwargs,
 ):
     """Coarse + fine dispatcher (reference ``RayTracing.py:12-30``).
@@ -685,7 +725,7 @@ def ray_tracing(
     if mppb == -1:
         mask = jnp.ones((B, 1, 1, P), dtype=jnp.int8)
         eff_bin = (H, W)
-        ids = base_ids
+        ids, perm = base_ids, None
     elif jax.default_backend() != "tpu":
         # CPU/fallback with culling: the compacted-list gather path bounds
         # the dense hit tensors at (bins, R, max_points_per_bin) instead of
@@ -694,10 +734,11 @@ def ray_tracing(
             R, T, focal, principal, points, isigmas, (H, W), thr,
             bin_size_cfg, mppb, **kwargs,
         )
-        return ray_tracing_fine(
+        sel = ray_tracing_fine(
             points.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays,
             bin_points, thr, (bin_size_cfg, bin_size_cfg), n_assign,
         )
+        return (sel, None) if return_ctx else sel
     else:
         from voge_tpu.ops.coarse import overlap_mask
 
@@ -706,7 +747,7 @@ def ray_tracing(
         # into few chunks; the streaming kernel then skips the (vast)
         # majority of (supertile, chunk) steps.  Original ids ride along as a
         # streamed plane, so outputs keep original indexing for free.
-        points, isigmas, ids = _sort_bin_coherent(
+        points, isigmas, ids, perm = _sort_bin_coherent(
             R, T, focal, principal, points, isigmas, (H, W),
             bin_size_cfg, base_ids,
         )
@@ -716,10 +757,38 @@ def ray_tracing(
         )
         eff_bin = (bin_size_cfg, bin_size_cfg)
 
-    return _ray_trace_fine_mask(
+    if not return_ctx:
+        return _ray_trace_fine_mask(
+            points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
+            int(n_assign),
+        )
+
+    # ctx path: KERNEL-layout selections + everything the fused attribute
+    # compositing kernels need (voge_tpu/ops/pallas_attr.py)
+    sel_k = _rt_fine_kern(
         points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
         int(n_assign),
     )
+    _, BH, BW, _ = mask.shape
+    bsh, bsw = eff_bin
+    grouped = _is_grouped(BH, BW)
+    cand_chunk = _pick_cand_chunk(P)
+    P_pad = _ceil_to(max(P, cand_chunk), cand_chunk)
+    mask_flat = mask.reshape(B * BH * BW, P).astype(jnp.int8)
+    if P_pad > P:
+        mask_flat = jnp.pad(mask_flat, ((0, 0), (0, P_pad - P)))
+    if grouped:
+        mask_k, BH2, BW2 = _group_supertiles(mask_flat[:, None, :], B, BH, BW)
+        bh_bw = BH2 * BW2
+    else:
+        mask_k, bh_bw = mask_flat[:, None, :], BH * BW
+    ctx = dict(
+        mask_k=mask_k,
+        ids_p=_prep_ids(ids, P, P_pad),
+        perm=perm,
+        geom=(B, H, W, BH, BW, bsh, bsw, grouped, bh_bw, cand_chunk, P, P_pad),
+    )
+    return sel_k, ctx
 
 
 def _morton16(x: jax.Array, y: jax.Array) -> jax.Array:
@@ -740,8 +809,9 @@ def _sort_bin_coherent(
 ):
     """Sort Gaussians (per batch) by the Morton code of the 2x2-bin
     supertile containing their projected center; off-screen / behind-camera
-    Gaussians sort last.  Returns (points, isigmas, ids) permuted, where
-    ``ids`` carries the original global flattened indices."""
+    Gaussians sort last.  Returns (points, isigmas, ids, perm) permuted,
+    where ``ids`` carries the original global flattened indices and ``perm``
+    is the (B, P) permutation (sorted slot -> original row)."""
     from voge_tpu.ops.coarse import _camera_planes
 
     H, W = int(image_size[0]), int(image_size[1])
@@ -756,4 +826,4 @@ def _sort_bin_coherent(
     pts = jnp.take_along_axis(points, perm[:, :, None], axis=1)
     isg = jnp.take_along_axis(isigmas, perm[:, :, None, None], axis=1)
     ids = jnp.take_along_axis(base_ids, perm, axis=1)
-    return pts, isg, ids
+    return pts, isg, ids, perm

@@ -1,0 +1,270 @@
+"""Fused attribute compositing (``interpolate_attr``) Pallas kernels.
+
+Replaces the XLA gather/scatter pair in ``merge_final`` (reference
+``Aggregation.py:111-141``): the per-pixel attribute image
+
+    img[r] = sum_k w[r, k] * attr[sel[r, k]]
+
+is computed by streaming the same (supertile, candidate-chunk) structure as
+the fine ray-tracing kernels (:mod:`voge_tpu.ops.pallas_fine2`): for each
+occupied step, match the tile's selected original ids against the chunk's
+ids plane (K lane-compares), collapse to a per-candidate weight matrix
+W[r, j] = sum_k (sel[r,k] == ids[j]) * w[r,k], and contract with the
+chunk's attribute planes on the MXU.  Backward reuses the identical match:
+
+    d_attr[j]  += sum_r W[r, j] * g_img[r]          (chunk-outermost grid)
+    d_w[r, k]   = s[r, j(r,k)],  s = g_img @ attr   (chunk-innermost grid)
+
+No gathers, no scatters, deterministic; empty steps are skipped like the
+fine kernels.  At the 10K-Gaussian / 256^2 benchmark this replaces ~20 ms
+of XLA gather + scatter-add with ~3 ms of kernels.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _match_weight(sel, w, ids, R, C, K):
+    """W[r, j] = sum_k (sel[r, k] == ids[j]) * w[r, k] — the per-candidate
+    collapsed weight matrix (R, C)."""
+    Wc = jnp.zeros((R, C), jnp.float32)
+    for k in range(K):
+        oh = sel[:, k : k + 1] == ids
+        Wc = Wc + jnp.where(oh, w[:, k : k + 1], 0.0)
+    return Wc
+
+
+def _fwd_kernel(mask_ref, attr_ref, ids_ref, sel_ref, w_ref, out_ref, acc,
+                *, K: int):
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    m = mask_ref[0]
+
+    @pl.when(jnp.max(m.astype(jnp.float32)) > 0.5)
+    def _():
+        sel = sel_ref[0]
+        R, C = sel.shape[0], ids_ref.shape[2]
+        Wc = _match_weight(sel, w_ref[0], ids_ref[0], R, C, K)
+        # (R, C) @ (Ca, C)^T on the MXU
+        acc[:] = acc[:] + jax.lax.dot_general(
+            Wc, attr_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+
+    @pl.when(c == n_c - 1)
+    def _():
+        out_ref[0] = acc[:]
+
+
+def _bwd_attr_kernel(mask_ref, attr_ref, ids_ref, sel_ref, w_ref, g_ref,
+                     out_ref, *, K: int, bh_bw: int):
+    b = pl.program_id(1)
+
+    @pl.when(b % bh_bw == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    m = mask_ref[0]
+
+    @pl.when(jnp.max(m.astype(jnp.float32)) > 0.5)
+    def _():
+        sel = sel_ref[0]
+        R, C = sel.shape[0], ids_ref.shape[2]
+        Wc = _match_weight(sel, w_ref[0], ids_ref[0], R, C, K)
+        # (Ca, R) @ (R, C): contract rays
+        out_ref[0] = out_ref[0] + jax.lax.dot_general(
+            g_ref[0], Wc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+
+
+def _bwd_w_kernel(mask_ref, attr_ref, ids_ref, sel_ref, g_ref, out_ref, acc,
+                  *, K: int):
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    m = mask_ref[0]
+
+    @pl.when(jnp.max(m.astype(jnp.float32)) > 0.5)
+    def _():
+        sel = sel_ref[0]
+        ids = ids_ref[0]
+        R, C = sel.shape[0], ids.shape[1]
+        # s[r, j] = g_img[r] . attr[j]  — (R, Ca) @ (Ca, C)
+        s = jax.lax.dot_general(
+            g_ref[0], attr_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        cols = []
+        for k in range(K):
+            oh = sel[:, k : k + 1] == ids
+            cols.append(jnp.sum(jnp.where(oh, s, 0.0), axis=1, keepdims=True))
+        Kpad = acc.shape[1]
+        if Kpad > K:
+            cols.append(jnp.zeros((R, Kpad - K), jnp.float32))
+        acc[:] = acc[:] + jnp.concatenate(cols, axis=1)
+
+    @pl.when(c == n_c - 1)
+    def _():
+        out_ref[0] = acc[:, :K]
+
+
+def _spec(shape, index_map):
+    return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+
+def attr_merge_fwd_pallas(
+    attr_planes: jax.Array,  # (B, Ca_pad, P_pad) f32 candidate-order planes
+    w_b: jax.Array,          # (nb, R, K) f32 slot weights (invalid -> 0)
+    sel_b: jax.Array,        # (nb, R, K) int32 original global ids (-1 pad)
+    mask_k: jax.Array,       # (nb, G, P_pad) int8 membership
+    ids_p: jax.Array,        # (B, 1, P_pad) int32
+    bh_bw: int, cand_chunk: int, interpret: bool = False,
+) -> jax.Array:
+    nb, R, K = w_b.shape
+    B, Ca, P_pad = attr_planes.shape
+    G = mask_k.shape[1]
+    n_c = P_pad // cand_chunk
+    kern = functools.partial(_fwd_kernel, K=int(K))
+    return pl.pallas_call(
+        kern,
+        grid=(nb, n_c),
+        in_specs=[
+            _spec((1, G, cand_chunk), lambda b, c: (b, 0, c)),
+            _spec((1, Ca, cand_chunk), lambda b, c, _w=bh_bw: (b // _w, 0, c)),
+            _spec((1, 1, cand_chunk), lambda b, c, _w=bh_bw: (b // _w, 0, c)),
+            _spec((1, R, K), lambda b, c: (b, 0, 0)),
+            _spec((1, R, K), lambda b, c: (b, 0, 0)),
+        ],
+        out_specs=_spec((1, R, Ca), lambda b, c: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, R, Ca), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R, Ca), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(mask_k, attr_planes, ids_p, sel_b, w_b)
+
+
+def attr_merge_bwd_attr_pallas(
+    attr_planes, w_b, sel_b, mask_k, ids_p, g_img,  # g_img (nb, R, Ca)
+    bh_bw: int, cand_chunk: int, interpret: bool = False,
+) -> jax.Array:
+    nb, R, K = w_b.shape
+    B, Ca, P_pad = attr_planes.shape
+    G = mask_k.shape[1]
+    n_c = P_pad // cand_chunk
+    kern = functools.partial(_bwd_attr_kernel, K=int(K), bh_bw=int(bh_bw))
+    return pl.pallas_call(
+        kern,
+        grid=(n_c, nb),
+        in_specs=[
+            _spec((1, G, cand_chunk), lambda c, b: (b, 0, c)),
+            _spec((1, Ca, cand_chunk), lambda c, b, _w=bh_bw: (b // _w, 0, c)),
+            _spec((1, 1, cand_chunk), lambda c, b, _w=bh_bw: (b // _w, 0, c)),
+            _spec((1, R, K), lambda c, b: (b, 0, 0)),
+            _spec((1, R, K), lambda c, b: (b, 0, 0)),
+            _spec((1, R, Ca), lambda c, b: (b, 0, 0)),
+        ],
+        out_specs=_spec((1, Ca, cand_chunk),
+                        lambda c, b, _w=bh_bw: (b // _w, 0, c)),
+        out_shape=jax.ShapeDtypeStruct((B, Ca, P_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(mask_k, attr_planes, ids_p, sel_b, w_b, g_img)
+
+
+def attr_merge_bwd_w_pallas(
+    attr_planes, sel_b, mask_k, ids_p, g_img,
+    K: int, bh_bw: int, cand_chunk: int, interpret: bool = False,
+) -> jax.Array:
+    nb, R, Ca = g_img.shape
+    B, _, P_pad = attr_planes.shape
+    G = mask_k.shape[1]
+    n_c = P_pad // cand_chunk
+    Kpad = max(8, -(-K // 8) * 8)
+    kern = functools.partial(_bwd_w_kernel, K=int(K))
+    return pl.pallas_call(
+        kern,
+        grid=(nb, n_c),
+        in_specs=[
+            _spec((1, G, cand_chunk), lambda b, c: (b, 0, c)),
+            _spec((1, Ca, cand_chunk), lambda b, c, _w=bh_bw: (b // _w, 0, c)),
+            _spec((1, 1, cand_chunk), lambda b, c, _w=bh_bw: (b // _w, 0, c)),
+            _spec((1, R, K), lambda b, c: (b, 0, 0)),
+            _spec((1, R, Ca), lambda b, c: (b, 0, 0)),
+        ],
+        out_specs=_spec((1, R, K), lambda b, c: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nb, R, K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R, Kpad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(mask_k, attr_planes, ids_p, sel_b, g_img)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper (kernel layout)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def attr_merge_binned(attr_planes, w_b, sel_b, mask_k, ids_p,
+                      bh_bw, cand_chunk, interpret=False):
+    """img_b[r] = sum_k w_b[r, k] * attr[sel_b[r, k]] in kernel layout.
+
+    :param attr_planes: (B, Ca_pad, P_pad) attribute planes in the SAME
+        candidate order the ids plane describes (sorted space)
+    :param w_b / sel_b: (nb, R, K) weights / original global ids
+    :return: (nb, R, Ca_pad)
+    """
+    return attr_merge_fwd_pallas(
+        attr_planes, w_b, sel_b, mask_k, ids_p, bh_bw, cand_chunk, interpret
+    )
+
+
+def _attr_merge_fwd(attr_planes, w_b, sel_b, mask_k, ids_p,
+                    bh_bw, cand_chunk, interpret):
+    out = attr_merge_fwd_pallas(
+        attr_planes, w_b, sel_b, mask_k, ids_p, bh_bw, cand_chunk, interpret
+    )
+    return out, (attr_planes, w_b, sel_b, mask_k, ids_p)
+
+
+def _attr_merge_bwd(bh_bw, cand_chunk, interpret, res, g):
+    attr_planes, w_b, sel_b, mask_k, ids_p = res
+    K = w_b.shape[2]
+    d_attr = attr_merge_bwd_attr_pallas(
+        attr_planes, w_b, sel_b, mask_k, ids_p, g, bh_bw, cand_chunk,
+        interpret,
+    )
+    d_w = attr_merge_bwd_w_pallas(
+        attr_planes, sel_b, mask_k, ids_p, g, K, bh_bw, cand_chunk, interpret
+    )
+    g_sel = np.zeros(sel_b.shape, dtype=jax.dtypes.float0)
+    g_mask = np.zeros(mask_k.shape, dtype=jax.dtypes.float0)
+    g_ids = np.zeros(ids_p.shape, dtype=jax.dtypes.float0)
+    return d_attr, d_w, g_sel, g_mask, g_ids
+
+
+attr_merge_binned.defvjp(_attr_merge_fwd, _attr_merge_bwd)

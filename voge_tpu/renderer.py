@@ -30,13 +30,23 @@ class Fragments:
     - ``vert_hit_length`` (B, H, W, M) float: ray parameter of density peak
 
     Mirrors reference ``Renderer.py:13-50``.
+
+    ``attr_ctx`` / ``attr_geom`` are an optional private fused-compositing
+    context produced by :func:`render_pipeline` on TPU: the kernel-layout
+    selections/weights plus the candidate-order metadata that let
+    :func:`interpolate_attr` run as fused Pallas kernels instead of an XLA
+    gather/scatter.  They are dropped by indexing/squeezing (the fallback
+    path remains correct).
     """
 
-    def __init__(self, vert_weight, vert_index, valid_num, vert_hit_length):
+    def __init__(self, vert_weight, vert_index, valid_num, vert_hit_length,
+                 attr_ctx=None, attr_geom=None):
         self.vert_weight = vert_weight
         self.vert_index = vert_index
         self.valid_num = valid_num
         self.vert_hit_length = vert_hit_length
+        self.attr_ctx = attr_ctx
+        self.attr_geom = attr_geom
 
     def __getitem__(self, item):
         assert self.valid_num.ndim == 3, "Index access is only available when batched."
@@ -86,13 +96,14 @@ class Fragments:
     # pytree protocol
     def tree_flatten(self):
         return (
-            (self.vert_weight, self.vert_index, self.valid_num, self.vert_hit_length),
-            None,
+            (self.vert_weight, self.vert_index, self.valid_num,
+             self.vert_hit_length, self.attr_ctx),
+            self.attr_geom,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, attr_geom=aux)
 
 
 class GaussianRenderSettings:
@@ -187,28 +198,50 @@ def render_pipeline(
     else:
         isigma = 2.0 * sigmas
 
-    sel_idx, sel_len, sel_act, sel_dsd = ray_tracing(
+    sel, ctx = ray_tracing(
         (R, T, focal, principal), verts_transformed, isigma, rays,
         image_size, thr=thr_activation, n_assign=max_assign,
         bin_size=bin_size, max_points_per_bin=max_point_per_bin,
+        return_ctx=True,
     )
+    sel_idx, sel_len, sel_act, sel_dsd = sel
 
     # O(K^2) erf compositing: rematerialized in backward to avoid storing
-    # the [pixels, K, K] cross matrix.
+    # the [pixels, K, K] cross matrix.  With a ctx, ``sel`` is in KERNEL
+    # layout: aggregation runs there (it is elementwise over pixels), so the
+    # fused attribute kernels get the bin-layout weights for free and the
+    # fine VJP receives its cotangents without re-binning shuffles.
     agg = jax.checkpoint(
-        lambda a, l, d: aggregation(
-            sel_idx=sel_idx, sel_act=a, sel_len=l, sel_dsd=d,
+        lambda i, a, l, d: aggregation(
+            sel_idx=i, sel_act=a, sel_len=l, sel_dsd=d,
             occupation_weight=absorptivity,
         )[0]
     )
-    vert_weight = agg(sel_act, sel_len, sel_dsd)
-    valid_num = jnp.sum(sel_idx >= 0, axis=-1)
+    vert_weight = agg(sel_idx, sel_act, sel_len, sel_dsd)
 
+    if ctx is None:
+        valid_num = jnp.sum(sel_idx >= 0, axis=-1)
+        return Fragments(
+            vert_weight=vert_weight,
+            vert_index=sel_idx,
+            valid_num=valid_num,
+            vert_hit_length=sel_len,
+        )
+
+    from voge_tpu.ops.fine import unbin_kern
+
+    geom = ctx["geom"]
+    B_, H_, W_, BH, BW, bsh, bsw, grouped, bh_bw, cand_chunk, P_, P_pad = geom
+    ub = lambda x: unbin_kern(x, B_, BH, BW, H_, W_, bsh, bsw, grouped)
+    vert_index = ub(sel_idx)
     return Fragments(
-        vert_weight=vert_weight,
-        vert_index=sel_idx,
-        valid_num=valid_num,
-        vert_hit_length=sel_len,
+        vert_weight=ub(vert_weight),
+        vert_index=vert_index,
+        valid_num=jnp.sum(vert_index >= 0, axis=-1),
+        vert_hit_length=ub(sel_len),
+        attr_ctx=(sel_idx, vert_weight, ctx["mask_k"], ctx["ids_p"],
+                  ctx["perm"]),
+        attr_geom=geom,
     )
 
 
@@ -271,7 +304,14 @@ def interpolate_attr(fragments: Fragments, vert_attr: jax.Array) -> jax.Array:
 
     ``fragments.vert_index`` stores *flattened* (b * N + n) indices; when the
     camera batch is > 1 and ``vert_attr`` has only N rows it is tiled over the
-    batch (the reference requires callers to do this themselves)."""
+    batch (the reference requires callers to do this themselves).
+
+    On TPU, fragments produced by :func:`render_pipeline` carry a fused
+    compositing context and this runs as Pallas kernels (no gather/scatter);
+    otherwise it falls back to the XLA ``merge_final``."""
+    ctx = getattr(fragments, "attr_ctx", None)
+    if ctx is not None and jax.default_backend() == "tpu":
+        return _interpolate_attr_fused(fragments, vert_attr)
     n_needed = int(fragments.vert_index.shape[0])
     idx = fragments.vert_index
     if (
@@ -286,6 +326,36 @@ def interpolate_attr(fragments: Fragments, vert_attr: jax.Array) -> jax.Array:
         valid_num=fragments.valid_num,
         vert_assign=idx,
     )
+
+
+def _interpolate_attr_fused(fragments: Fragments, vert_attr: jax.Array):
+    """Fused Pallas path: attribute planes in candidate order are contracted
+    against the kernel-layout selections (voge_tpu/ops/pallas_attr.py)."""
+    from voge_tpu.ops.fine import unbin_kern
+    from voge_tpu.ops.pallas_attr import attr_merge_binned
+
+    sel_k, w_k, mask_k, ids_p, perm = fragments.attr_ctx
+    B, H, W, BH, BW, bsh, bsw, grouped, bh_bw, cand_chunk, P, P_pad = (
+        fragments.attr_geom
+    )
+    d = vert_attr.shape[-1]
+    attr = vert_attr.astype(jnp.float32)
+    if attr.ndim == 2 and attr.shape[0] == P and B > 1:
+        attr = jnp.broadcast_to(attr[None], (B, P, d))
+    else:
+        attr = attr.reshape(B, P, d)
+    if perm is not None:
+        attr = jnp.take_along_axis(attr, perm[:, :, None], axis=1)
+    # planes layout (B, Ca_pad, P_pad)
+    Ca = -(-d // 8) * 8
+    planes = jnp.swapaxes(attr, 1, 2)
+    planes = jnp.pad(planes, ((0, 0), (0, Ca - d), (0, P_pad - P)))
+    w_eff = jnp.where(sel_k >= 0, w_k, 0.0)
+    img_k = attr_merge_binned(
+        planes, w_eff, sel_k, mask_k, ids_p, bh_bw, cand_chunk, False
+    )
+    img = unbin_kern(img_k, B, BH, BW, H, W, bsh, bsw, grouped)
+    return img[..., :d]
 
 
 def get_silhouette(fragments: Fragments) -> jax.Array:
