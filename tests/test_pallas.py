@@ -185,6 +185,16 @@ def test_pallas_bwd_kernels_match_xla_bwd(rng):
     np.testing.assert_allclose(gi_p, gi_x, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(gr_p, np.asarray(gr_x), rtol=1e-4, atol=1e-4)
 
+    # unified single-pass backward must match the two-kernel pair exactly
+    from voge_tpu.ops.pallas_bwd import fine_bwd_unified_pallas
+
+    gg_u, rb_u = fine_bwd_unified_pallas(
+        rays_feat, gf, mf, ids_p, *args, thr_act=thr_act, K=K, bh_bw=BH * BW,
+        n_gauss=P, ray_chunk=8, cand_chunk=cand_chunk, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(gg_u), np.asarray(gg), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rb_u), np.asarray(rb), rtol=1e-6, atol=1e-6)
+
 
 def test_supertile_grouping_roundtrip(rng):
     from voge_tpu.ops.fine import _group_supertiles, _ungroup_supertiles

@@ -54,6 +54,11 @@ _SENTINEL_ACT = 1e10
 # budget); beyond this the XLA fallback runs.
 _PALLAS_MAX_M = 16384
 
+# Above this padded Gaussian count the unified backward's full-width
+# per-Gaussian output block (FEAT x P_pad f32) would strain VMEM; fall back
+# to the two-kernel backward (block-revisit accumulation at chunk width).
+_UNIFIED_BWD_MAX_PPAD = 262144
+
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
@@ -590,6 +595,7 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, res, g):
         from voge_tpu.ops.pallas_bwd import (
             fine_bwd_gauss_pallas,
             fine_bwd_rays_pallas,
+            fine_bwd_unified_pallas,
         )
 
         # cotangents arrive in kernel layout — no re-binning needed
@@ -603,16 +609,27 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, res, g):
             bh_bw, rc = BH2 * BW2, rays_feat.shape[1]
         else:
             bh_bw, rc = BH * BW, _pick_rc(R_pad)
-        gg = fine_bwd_gauss_pallas(
-            rays_feat, gauss_feat, mask_k, ids_p, *args,
-            thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
-            ray_chunk=rc, cand_chunk=cand_chunk,
-        )
-        rb = fine_bwd_rays_pallas(
-            rays_feat, gauss_feat, mask_k, ids_p, *args,
-            thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
-            ray_chunk=rc, cand_chunk=cand_chunk,
-        )
+        P_pad = gauss_feat.shape[2]
+        if P_pad <= _UNIFIED_BWD_MAX_PPAD:
+            # one streaming pass computes both outputs (the coefficient
+            # reconstruction is shared); per-Gaussian grads accumulate into
+            # a VMEM-resident full-width plane block
+            gg, rb = fine_bwd_unified_pallas(
+                rays_feat, gauss_feat, mask_k, ids_p, *args,
+                thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
+                ray_chunk=rc, cand_chunk=cand_chunk,
+            )
+        else:
+            gg = fine_bwd_gauss_pallas(
+                rays_feat, gauss_feat, mask_k, ids_p, *args,
+                thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
+                ray_chunk=rc, cand_chunk=cand_chunk,
+            )
+            rb = fine_bwd_rays_pallas(
+                rays_feat, gauss_feat, mask_k, ids_p, *args,
+                thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
+                ray_chunk=rc, cand_chunk=cand_chunk,
+            )
         grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
         grad_isg = jnp.stack(
             [gg[:, 3 + q, :P] for q in range(9)], axis=-1

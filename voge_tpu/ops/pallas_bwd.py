@@ -158,6 +158,154 @@ def _bwd_rays_kernel(
         out_ref[0] = acc[:]
 
 
+def _bwd_unified_kernel(
+    csel_ref,   # (nb, n_c) int32 SMEM: chunk visit list (scalar prefetch)
+    cnt_ref,    # (nb,) int32 SMEM: occupied chunk count per bin
+    gf_ref, ids_ref, rf_ref, sel_ref, gl_ref, ga_ref, gd_ref,
+    og_ref,     # (1, FEAT, P_pad) per-Gaussian gradient planes (full width)
+    or_ref,     # (1, R, FEAT) per-ray gradients (cols 0..2 used)
+    acc,        # (R, FEAT) scratch
+    *, K: int, chunk: int, bh_bw: int,
+):
+    b = pl.program_id(0)
+    r = pl.program_id(1)
+    c = pl.program_id(2)
+    n_c = pl.num_programs(2)
+
+    @pl.when((b % bh_bw == 0) & (r == 0) & (c == 0))
+    def _():
+        og_ref[0] = jnp.zeros_like(og_ref[0])
+
+    @pl.when(c == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(c < cnt_ref[b])
+    def _():
+        rf = rf_ref[0]
+        gf = gf_ref[0]
+        g_ksk, g_msk, g_msm = _coeffs_and_forms(
+            rf, gf, ids_ref[0], sel_ref[0], gl_ref[0], ga_ref[0], gd_ref[0], K,
+        )
+        L = [[gf[4 + i * 3 + j : 5 + i * 3 + j, :] for j in range(3)]
+             for i in range(3)]
+        mu = [gf[13 + i : 14 + i, :] for i in range(3)]
+
+        # ---- per-Gaussian gradient planes (column reductions over rays)
+        S1 = jnp.sum(g_msm, axis=0, keepdims=True)               # (1, C)
+        Sr = [
+            jnp.sum(g_msk * rf[:, j : j + 1], axis=0, keepdims=True)
+            for j in range(3)
+        ]
+        Srr = [
+            jnp.sum(g_ksk * rf[:, 3 + q : 4 + q], axis=0, keepdims=True)
+            for q in range(9)
+        ]
+        g_mu = [
+            sum(L[i][j] * Sr[j] for j in range(3))
+            + S1 * sum((L[i][j] + L[j][i]) * mu[j] for j in range(3))
+            for i in range(3)
+        ]
+        g_L = [
+            Srr[i * 3 + j] + Sr[j] * mu[i] + S1 * mu[i] * mu[j]
+            for i in range(3)
+            for j in range(3)
+        ]
+        zero = jnp.zeros_like(S1)
+        contrib = jnp.concatenate(g_mu + g_L + [zero] * (FEAT - 12), axis=0)
+        off = csel_ref[b, c] * chunk
+        og_ref[0, :, pl.ds(off, chunk)] = (
+            og_ref[0, :, pl.ds(off, chunk)] + contrib
+        )
+
+        # ---- per-ray gradients (row reductions over candidates)
+        cols = []
+        for i in range(3):
+            lam_r_i = sum(L[i][j] * rf[:, j : j + 1] for j in range(3))
+            lamT_r_i = sum(L[j][i] * rf[:, j : j + 1] for j in range(3))
+            lamT_mu_i = sum(L[j][i] * mu[j] for j in range(3))
+            term = g_ksk * (lam_r_i + lamT_r_i) + g_msk * lamT_mu_i
+            cols.append(jnp.sum(term, axis=1, keepdims=True))    # (R, 1)
+        zc = jnp.zeros_like(cols[0])
+        acc[:] = acc[:] + jnp.concatenate(cols + [zc] * (FEAT - 3), axis=1)
+
+    @pl.when(c == n_c - 1)
+    def _():
+        or_ref[0] = acc[:]
+
+
+def fine_bwd_unified_pallas(
+    rays_feat, gauss_feat, mask, ids, sel_b, gl_b, ga_b, gd_b,
+    thr_act: float, K: int, bh_bw: int, n_gauss: int,
+    ray_chunk: int, cand_chunk: int = 512, interpret: bool = False,
+):
+    """Both gradient outputs in one streaming pass (the coefficient/forms
+    reconstruction — the dominant per-step cost — is shared):
+
+    :return: (gauss_grads (B, FEAT, P_pad): rows 0..2 grad_mu, 3..11
+        grad_Lambda;  ray_grads (nb, R_pad, FEAT): cols 0..2 grad_ray)
+
+    Per-Gaussian gradients accumulate into a full-width (FEAT, P_pad) output
+    block at the visit list's dynamic chunk offset — deterministic, and the
+    block stays resident across all of an image's grid steps.  Empty chunks
+    are skipped entirely via the scalar-prefetched visit list (the mask is
+    consumed host-side by :func:`chunk_visit_lists`, not streamed).
+    """
+    from voge_tpu.ops.pallas_fine2 import chunk_visit_lists
+
+    nb, R_pad, _ = rays_feat.shape
+    B, _, P_pad = gauss_feat.shape
+    n_r = R_pad // ray_chunk
+    n_c = P_pad // cand_chunk
+    csel, counts = chunk_visit_lists(mask, n_c, cand_chunk)
+    kernel = functools.partial(
+        _bwd_unified_kernel, K=int(K), chunk=int(cand_chunk),
+        bh_bw=int(bh_bw),
+    )
+    slot = pl.BlockSpec((1, ray_chunk, K), lambda b, r, c, cs, ct: (b, r, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, n_r, n_c),
+        in_specs=[
+            pl.BlockSpec((1, FEAT, cand_chunk),
+                         lambda b, r, c, cs, ct, _bw=int(bh_bw):
+                             (b // _bw, 0, cs[b, c]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cand_chunk),
+                         lambda b, r, c, cs, ct, _bw=int(bh_bw):
+                             (b // _bw, 0, cs[b, c]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_chunk, FEAT),
+                         lambda b, r, c, cs, ct: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            slot, slot, slot, slot,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, FEAT, P_pad),
+                         lambda b, r, c, cs, ct, _bw=int(bh_bw):
+                             (b // _bw, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_chunk, FEAT),
+                         lambda b, r, c, cs, ct: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((ray_chunk, FEAT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, FEAT, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb, R_pad, FEAT), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(csel, counts, gauss_feat, ids, rays_feat, sel_b, gl_b, ga_b, gd_b)
+
+
 def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order, G=1):
     """BlockSpecs for (mask, gf, rf, sel, gl, ga, gd) under a grid index
     order: 'cbr' (c, b, r) or 'brc' (b, r, c)."""

@@ -14,6 +14,14 @@ running state (scratch, persistent across grid steps) belongs to a fixed
 (bin, ray-chunk) pair; initialized at c == 0, flushed to the outputs at
 c == n_cand_chunks - 1.
 
+Empty (bin, chunk) steps are skipped via a scalar-prefetched visit list:
+per bin, the occupied chunk indices (in ascending order, preserving the
+reference tie-break) are prefetched into SMEM and the block index maps
+route step c to visit_list[b, c]; steps past the bin's occupied count
+re-visit the previous chunk's blocks (no DMA re-fetch) and are predicated
+off entirely.  With bin-coherent (Morton) candidate ordering upstream,
+this removes the large majority of grid-step work for big scenes.
+
 Tie-breaking matches the insertion order of the reference's per-pixel
 insertion sort (``ray_trace_voge.cu:197-213``): the running state (earlier
 chunks = lower Gaussian indices) is concatenated *before* the current
@@ -35,7 +43,32 @@ _INF = 1e10
 _RUNW = 128  # running-state lane width (>= K, lane-aligned)
 
 
+def chunk_visit_lists(mask: jax.Array, n_c: int, cand_chunk: int):
+    """Per-bin occupied-chunk visit lists for scalar prefetch.
+
+    :param mask: (nb, G, P_pad) int8 membership
+    :return: (csel (nb, n_c) int32, counts (nb,) int32).  ``csel[b, :cnt]``
+        holds the occupied chunk indices in ascending order (preserving the
+        reference's insertion-order tie-break); entries past ``cnt`` repeat
+        the last occupied chunk so consecutive grid steps keep identical
+        block indices (no DMA re-fetch).
+    """
+    nb = mask.shape[0]
+    occ = (
+        mask.reshape(nb, mask.shape[1], n_c, cand_chunk).max(axis=(1, 3)) > 0
+    )                                                          # (nb, n_c)
+    counts = occ.sum(axis=-1).astype(jnp.int32)
+    iota = jnp.arange(n_c, dtype=jnp.int32)[None]
+    # stable sort of (not occupied): occupied chunks first, ascending
+    order = jnp.argsort(~occ, axis=1, stable=True).astype(jnp.int32)
+    last = jnp.max(jnp.where(occ, iota, 0), axis=1)
+    csel = jnp.where(iota < counts[:, None], order, last[:, None])
+    return csel, counts
+
+
 def _kernel(
+    csel_ref,   # (nb, n_c) int32 SMEM: chunk visit list (scalar prefetch)
+    cnt_ref,    # (nb,) int32 SMEM: occupied chunk count per bin
     mask_ref,   # (1, G, C) int8 membership (one row per sub-bin)
     gf_ref,     # (1, FEAT, C) f32 Gaussian feature planes (batch b_img)
     ids_ref,    # (1, 1, C) int32 global flattened ORIGINAL candidate ids
@@ -64,15 +97,14 @@ def _kernel(
         run_dsd[:] = jnp.zeros((R, _RUNW), jnp.float32)
         run_idx[:] = jnp.full((R, _RUNW), -1, jnp.int32)
 
-    # Skip chunks with no bin members entirely — with the coarse mask's
-    # typical density (<1%) the vast majority of (bin, chunk) steps are
-    # empty and the K-pass merge below is by far the dominant cost.
-    mf = m.astype(jnp.float32)
-    # expand per-sub-bin rows to per-ray rows
-    mexp = jnp.broadcast_to(mf[:, None, :], (G, R_bin, C)).reshape(R, C)
-
-    @pl.when(jnp.max(mf) > 0.5)
+    # Only occupied chunks are visited (scalar-prefetched visit list); steps
+    # past this bin's occupied count are repeats of the last occupied chunk
+    # (same block indices => no DMA) and skipped entirely.
+    @pl.when(c < cnt_ref[b])
     def _():
+        mf = m.astype(jnp.float32)
+        # expand per-sub-bin rows to per-ray rows
+        mexp = jnp.broadcast_to(mf[:, None, :], (G, R_bin, C)).reshape(R, C)
         msk = (
             rf[:, 0:1] * gf[0:1, :]
             + rf[:, 1:2] * gf[1:2, :]
@@ -98,29 +130,34 @@ def _kernel(
         W = _RUNW + C
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
 
+        # K extraction passes.  jnp.argmin along lanes is ~10x slower than
+        # jnp.min on Mosaic, so the first-minimum lane is found with a second
+        # min over the lane iota (ties -> lowest lane, the insertion-sort
+        # tie-break).  Invalid slots extract junk payloads (mn == _INF
+        # matches many lanes); they are re-masked after the loop.
         new_len, new_act, new_dsd, new_idx = [], [], [], []
         for _ in range(K):
             mn = jnp.min(cat_len, axis=1, keepdims=True)
-            am = jnp.argmin(cat_len, axis=1)
-            oh = lane_w == am[:, None]
-            valid = mn < _INF
-            new_len.append(jnp.where(valid, mn, _INF))
-            new_act.append(
-                jnp.where(valid, jnp.sum(jnp.where(oh, cat_act, 0.0), axis=1, keepdims=True), _INF)
-            )
-            new_dsd.append(
-                jnp.where(valid, jnp.sum(jnp.where(oh, cat_dsd, 0.0), axis=1, keepdims=True), 0.0)
-            )
-            new_idx.append(
-                jnp.where(valid, jnp.sum(jnp.where(oh, cat_idx, 0), axis=1, keepdims=True), -1)
-            )
+            oh0 = cat_len == mn
+            am = jnp.min(jnp.where(oh0, lane_w, W), axis=1, keepdims=True)
+            oh = lane_w == am
+            new_len.append(mn)
+            new_act.append(jnp.sum(jnp.where(oh, cat_act, 0.0), axis=1, keepdims=True))
+            new_dsd.append(jnp.sum(jnp.where(oh, cat_dsd, 0.0), axis=1, keepdims=True))
+            new_idx.append(jnp.sum(jnp.where(oh, cat_idx, 0), axis=1, keepdims=True))
             cat_len = jnp.where(oh, _INF, cat_len)
 
+        k_len = jnp.concatenate(new_len, axis=1)               # (R, K)
+        k_val = k_len < _INF
+        k_act = jnp.where(k_val, jnp.concatenate(new_act, axis=1), _INF)
+        k_dsd = jnp.where(k_val, jnp.concatenate(new_dsd, axis=1), 0.0)
+        k_idx = jnp.where(k_val, jnp.concatenate(new_idx, axis=1), -1)
+
         pad = _RUNW - K
-        run_len[:] = jnp.concatenate(new_len + [jnp.full((R, pad), _INF, jnp.float32)], axis=1)
-        run_act[:] = jnp.concatenate(new_act + [jnp.full((R, pad), _INF, jnp.float32)], axis=1)
-        run_dsd[:] = jnp.concatenate(new_dsd + [jnp.zeros((R, pad), jnp.float32)], axis=1)
-        run_idx[:] = jnp.concatenate(new_idx + [jnp.full((R, pad), -1, jnp.int32)], axis=1)
+        run_len[:] = jnp.concatenate([k_len, jnp.full((R, pad), _INF, jnp.float32)], axis=1)
+        run_act[:] = jnp.concatenate([k_act, jnp.full((R, pad), _INF, jnp.float32)], axis=1)
+        run_dsd[:] = jnp.concatenate([k_dsd, jnp.zeros((R, pad), jnp.float32)], axis=1)
+        run_idx[:] = jnp.concatenate([k_idx, jnp.full((R, pad), -1, jnp.int32)], axis=1)
 
     @pl.when(c == n_c - 1)
     def _():
@@ -153,6 +190,8 @@ def fine_select_mask_pallas(
     n_r = R_pad // ray_chunk
     n_c = P_pad // cand_chunk
 
+    csel, counts = chunk_visit_lists(mask, n_c, cand_chunk)
+
     grid = (nb, n_r, n_c)
     kernel = functools.partial(
         _kernel, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
@@ -165,31 +204,40 @@ def fine_select_mask_pallas(
         jax.ShapeDtypeStruct((nb, R_pad, K), jnp.float32),
     ]
     out_spec = pl.BlockSpec(
-        (1, ray_chunk, K), lambda b, r, c: (b, r, 0), memory_space=pltpu.VMEM
+        (1, ray_chunk, K), lambda b, r, c, csel, cnt: (b, r, 0),
+        memory_space=pltpu.VMEM,
     )
-    return pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, G, cand_chunk), lambda b, r, c: (b, 0, c),
+            pl.BlockSpec((1, G, cand_chunk),
+                         lambda b, r, c, csel, cnt: (b, 0, csel[b, c]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, FEAT, cand_chunk),
-                         lambda b, r, c, _bw=int(bh_bw): (b // _bw, 0, c),
+                         lambda b, r, c, csel, cnt, _bw=int(bh_bw):
+                             (b // _bw, 0, csel[b, c]),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, cand_chunk),
-                         lambda b, r, c, _bw=int(bh_bw): (b // _bw, 0, c),
+                         lambda b, r, c, csel, cnt, _bw=int(bh_bw):
+                             (b // _bw, 0, csel[b, c]),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_chunk, FEAT), lambda b, r, c: (b, r, 0),
+            pl.BlockSpec((1, ray_chunk, FEAT),
+                         lambda b, r, c, csel, cnt: (b, r, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 4,
-        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((ray_chunk, _RUNW), jnp.float32),
             pltpu.VMEM((ray_chunk, _RUNW), jnp.float32),
             pltpu.VMEM((ray_chunk, _RUNW), jnp.float32),
             pltpu.VMEM((ray_chunk, _RUNW), jnp.int32),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -199,4 +247,4 @@ def fine_select_mask_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(mask, gauss_feat, ids, rays_feat)
+    )(csel, counts, mask, gauss_feat, ids, rays_feat)

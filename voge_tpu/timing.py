@@ -24,12 +24,18 @@ def _force(out) -> None:
     np.asarray(leaf).ravel()[:1]
 
 
-def measure(fn: Callable, args_list: Sequence, n1: int = 5, n2: int = 25) -> float:
+def measure(fn: Callable, args_list: Sequence, n1: int = 5, n2: int = 25,
+            max_retries: int = 4) -> float:
     """Per-execution seconds of ``fn`` (jitted), robust to async dispatch,
     fake block_until_ready, and readback polling.
 
     ``args_list``: sequence of argument tuples, cycled through (pass several
     distinct sets to defeat any caching).
+
+    The relay attachment occasionally stalls a run for seconds (program
+    reload), which can make ``t(n2) - t(n1)`` nonpositive or wildly off; a
+    nonpositive difference is retried, and the smallest positive estimate
+    across retries is kept (stalls only ever inflate a run).
     """
     k = len(args_list)
     out = fn(*args_list[0])
@@ -43,6 +49,14 @@ def measure(fn: Callable, args_list: Sequence, n1: int = 5, n2: int = 25) -> flo
         _force(out)
         return time.perf_counter() - t0
 
-    t1 = run(n1)
-    t2 = run(n2)
-    return max((t2 - t1) / (n2 - n1), 1e-9)
+    best = None
+    for _ in range(max_retries):
+        t1 = run(n1)
+        t2 = run(n2)
+        est = (t2 - t1) / (n2 - n1)
+        if est > 0:
+            best = est if best is None else min(best, est)
+            if best * n2 > 0.2 * (t1 + t2):
+                # estimate consistent with total wall time -> trust it
+                break
+    return best if best is not None else 1e-9
