@@ -20,9 +20,15 @@ profile puts the full fwd+bwd step at ~10-30 ms on A100 => we use 50 fps as
 a *generous* A100 baseline for the 10K-Gaussian config.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compilation cache: workloads run in subprocesses (fresh
+# processes keep the relay attachment honest), and without this each one
+# would re-pay its full TPU compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 A100_BASELINE_FPS_10K = 50.0
 
@@ -56,8 +62,10 @@ def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
         return jnp.mean((img - target) ** 2) + jnp.mean(sil ** 2)
 
     fwd_bwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
+    # enough distinct inputs that no execution repeats one (repeat
+    # inputs can be served from a relay result cache)
     args_list = [
-        (verts * (1.0 + 1e-4 * i), sigmas, colors) for i in range(8)
+        (verts * (1.0 + 1e-4 * i), sigmas, colors) for i in range(25)
     ]
     return fwd_bwd, args_list, verts.shape[0]
 
@@ -87,23 +95,76 @@ def build_fwd_pointcloud(n_points=100000, image_size=(320, 320)):
         return frag.vert_weight
 
     fn = jax.jit(fwd)
-    return fn, [(verts * (1 + 1e-4 * i),) for i in range(6)]
+    return fn, [(verts * (1 + 1e-4 * i),) for i in range(16)]
+
+
+def _measure_fwdbwd(n_gauss):
+    from voge_tpu.timing import measure
+
+    fn, args_list, n_actual = build_fwdbwd(n_gauss)
+    t = measure(fn, args_list, n1=4, n2=20)
+    return {"t": t, "n": n_actual}
+
+
+def _measure_fwdbwd_all():
+    return {"1k": _measure_fwdbwd(1000), "10k": _measure_fwdbwd(10000)}
+
+
+def _measure_pointcloud():
+    from voge_tpu.timing import measure
+
+    fn, args_list = build_fwd_pointcloud()
+    return {"t": measure(fn, args_list, n1=3, n2=12)}
+
+
+def _in_subprocess(call: str):
+    """Run one workload in a fresh process (the relay attachment degrades
+    when several large distinct programs cycle within one process) and
+    return its parsed JSON result."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import json, bench; print('@@'+json.dumps(bench.%s))" % call
+    )
+    last_err = None
+    for _ in range(2):  # one retry: compiles occasionally hang on the relay
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=420,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired as e:
+            last_err = e
+            continue
+        for line in out.stdout.splitlines():
+            if line.startswith("@@"):
+                return json.loads(line[2:])
+        last_err = RuntimeError(
+            f"workload subprocess failed: {out.stdout[-300:]} {out.stderr[-300:]}"
+        )
+    raise last_err
 
 
 def main():
-    from voge_tpu.timing import measure
-
     results = {}
-    for n_gauss, key in ((1000, "1k"), (10000, "10k")):
-        fn, args_list, n_actual = build_fwdbwd(n_gauss)
-        t = measure(fn, args_list, n1=4, n2=20)
-        results[f"fwdbwd_fps_{key}"] = 1.0 / t
-        results[f"fwdbwd_ms_{key}"] = t * 1000
-        results[f"n_gauss_{key}"] = n_actual
+    try:
+        r = _in_subprocess("_measure_fwdbwd_all()")
+    except Exception:
+        r = _measure_fwdbwd_all()  # in-process fallback
+    for key in ("1k", "10k"):
+        results[f"fwdbwd_fps_{key}"] = 1.0 / r[key]["t"]
+        results[f"fwdbwd_ms_{key}"] = r[key]["t"] * 1000
+        results[f"n_gauss_{key}"] = r[key]["n"]
 
     try:
-        fn, args_list = build_fwd_pointcloud()
-        results["fwd_ms_pointcloud_100k_320"] = measure(fn, args_list, n1=3, n2=12) * 1000
+        try:
+            r = _in_subprocess("_measure_pointcloud()")
+        except Exception:
+            r = _measure_pointcloud()  # in-process fallback
+        results["fwd_ms_pointcloud_100k_320"] = r["t"] * 1000
     except Exception as e:  # keep the headline metric robust
         results["fwd_ms_pointcloud_100k_320"] = f"failed: {e}"
 

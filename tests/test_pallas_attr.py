@@ -100,6 +100,18 @@ def test_attr_bwd_matches_autodiff_of_oracle(rng):
         geom["cand_chunk"], interpret=True,
     )
 
+    # unified single-pass backward must match the pair exactly
+    from voge_tpu.ops.pallas_attr import attr_merge_bwd_unified_pallas
+
+    d_attr_u, d_w_u = attr_merge_bwd_unified_pallas(
+        planes, w_k, sel_k, mask_flat, ids_p, g, geom["bh_bw"],
+        geom["cand_chunk"], interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(d_attr_u), np.asarray(d_attr),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_w_u), np.asarray(d_w),
+                               rtol=1e-6, atol=1e-6)
+
     # numpy oracle: entry-space chain rule
     sel = np.asarray(sel_k)
     w = np.asarray(w_k)

@@ -393,7 +393,8 @@ def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size):
     nb = B * BH * BW
 
     cand_chunk = _pick_cand_chunk(P)
-    P_pad = _ceil_to(max(P, cand_chunk), cand_chunk)
+    cc_align = max(cand_chunk, _pick_cand_chunk_bwd(P))
+    P_pad = _ceil_to(max(P, cc_align), cc_align)
     gauss_feat = _gauss_feature_planes_batched(mus, isigmas)
     if P_pad > P:
         gauss_feat = jnp.pad(gauss_feat, ((0, 0), (0, 0), (0, P_pad - P)))
@@ -454,10 +455,18 @@ def _mask_path_select(prep, thr_act, K):
 
 def _pick_cand_chunk(P: int) -> int:
     """Candidate chunk width.  With bin-coherent candidate ordering a
-    supertile's members cluster into few chunks and most steps are skipped.
-    Measured on v5e at the 10K/256^2 workload: 1024 beats 256/512/2048 —
-    narrower chunks lose to per-merge-pass fixed costs, wider to merge
-    width."""
+    supertile's members cluster into few chunks; the transposed
+    (candidate-on-sublane) select kernel has no narrow-width reduction
+    penalty, so a narrow chunk that hugs the member clusters wins.
+    Measured on v5e: 256 beats 128/512/1024 at both the 10K/256^2 and
+    100K/320^2 workloads (14.1 -> 7.0 ms and 101 -> 64 ms vs 1024)."""
+    return 256
+
+
+def _pick_cand_chunk_bwd(P: int) -> int:
+    """Chunk width for the lane-major backward / attribute kernels, whose
+    per-step costs (match K-loop, column reductions, MXU contractions) favor
+    wide chunks.  P_pad is always padded to the lcm of both widths."""
     return 1024
 
 
@@ -600,7 +609,7 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, res, g):
 
         # cotangents arrive in kernel layout — no re-binning needed
         _, g_len_k, g_act_k, g_dsd_k = g
-        cand_chunk = _pick_cand_chunk(P)
+        cand_chunk = _pick_cand_chunk_bwd(P)
         rays_feat, mask_k, ids_p, gauss_feat = saved
         R_pad = _ceil_to(bsh * bsw, 8)
         args = (sel_idx_k, g_len_k, g_act_k, g_dsd_k)
@@ -789,8 +798,10 @@ def ray_tracing(
     _, BH, BW, _ = mask.shape
     bsh, bsw = eff_bin
     grouped = _is_grouped(BH, BW)
-    cand_chunk = _pick_cand_chunk(P)
-    P_pad = _ceil_to(max(P, cand_chunk), cand_chunk)
+    # attribute kernels are lane-major: they use the wide bwd chunking
+    cand_chunk = _pick_cand_chunk_bwd(P)
+    cc_align = max(cand_chunk, _pick_cand_chunk(P))
+    P_pad = _ceil_to(max(P, cc_align), cc_align)
     mask_flat = mask.reshape(B * BH * BW, P).astype(jnp.int8)
     if P_pad > P:
         mask_flat = jnp.pad(mask_flat, ((0, 0), (0, P_pad - P)))

@@ -43,8 +43,9 @@ def _match_weight(sel, w, ids, R, C, K):
     return Wc
 
 
-def _fwd_kernel(mask_ref, attr_ref, ids_ref, sel_ref, w_ref, out_ref, acc,
-                *, K: int):
+def _fwd_kernel(csel_ref, cnt_ref, attr_ref, ids_ref, sel_ref, w_ref,
+                out_ref, acc, *, K: int):
+    b = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
 
@@ -52,9 +53,7 @@ def _fwd_kernel(mask_ref, attr_ref, ids_ref, sel_ref, w_ref, out_ref, acc,
     def _():
         acc[:] = jnp.zeros_like(acc)
 
-    m = mask_ref[0]
-
-    @pl.when(jnp.max(m.astype(jnp.float32)) > 0.5)
+    @pl.when(c < cnt_ref[b])
     def _():
         sel = sel_ref[0]
         R, C = sel.shape[0], ids_ref.shape[2]
@@ -68,6 +67,60 @@ def _fwd_kernel(mask_ref, attr_ref, ids_ref, sel_ref, w_ref, out_ref, acc,
     @pl.when(c == n_c - 1)
     def _():
         out_ref[0] = acc[:]
+
+
+def _bwd_unified_kernel(csel_ref, cnt_ref, attr_ref, ids_ref, sel_ref, w_ref,
+                        g_ref, oa_ref, ow_ref, acc_w, *, K: int, chunk: int,
+                        bh_bw: int):
+    """Both backward outputs in one pass: the K-compare id match (the
+    dominant cost) is shared between d_attr and d_w."""
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when((b % bh_bw == 0) & (c == 0))
+    def _():
+        oa_ref[0] = jnp.zeros_like(oa_ref[0])
+
+    @pl.when(c == 0)
+    def _():
+        acc_w[:] = jnp.zeros_like(acc_w)
+
+    @pl.when(c < cnt_ref[b])
+    def _():
+        sel = sel_ref[0]
+        ids = ids_ref[0]
+        w = w_ref[0]
+        g = g_ref[0]
+        R, C = sel.shape[0], ids.shape[1]
+        # s[r, j] = g_img[r] . attr[j]  — (R, Ca) @ (Ca, C)
+        s = jax.lax.dot_general(
+            g, attr_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        Wc = jnp.zeros((R, C), jnp.float32)
+        cols = []
+        for k in range(K):
+            oh = sel[:, k : k + 1] == ids
+            Wc = Wc + jnp.where(oh, w[:, k : k + 1], 0.0)
+            cols.append(jnp.sum(jnp.where(oh, s, 0.0), axis=1, keepdims=True))
+        Kpad = acc_w.shape[1]
+        if Kpad > K:
+            cols.append(jnp.zeros((R, Kpad - K), jnp.float32))
+        acc_w[:] = acc_w[:] + jnp.concatenate(cols, axis=1)
+        # d_attr[j] += sum_r W[r, j] * g_img[r]: (Ca, R) @ (R, C)
+        contrib = jax.lax.dot_general(
+            g, Wc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )
+        off = csel_ref[b, c] * chunk
+        oa_ref[0, :, pl.ds(off, chunk)] = (
+            oa_ref[0, :, pl.ds(off, chunk)] + contrib
+        )
+
+    @pl.when(c == n_c - 1)
+    def _():
+        ow_ref[0] = acc_w[:, :K]
 
 
 def _bwd_attr_kernel(mask_ref, attr_ref, ids_ref, sel_ref, w_ref, g_ref,
@@ -139,29 +192,36 @@ def attr_merge_fwd_pallas(
     ids_p: jax.Array,        # (B, 1, P_pad) int32
     bh_bw: int, cand_chunk: int, interpret: bool = False,
 ) -> jax.Array:
+    from voge_tpu.ops.pallas_fine2 import chunk_visit_lists
+
     nb, R, K = w_b.shape
     B, Ca, P_pad = attr_planes.shape
-    G = mask_k.shape[1]
     n_c = P_pad // cand_chunk
+    csel, counts = chunk_visit_lists(mask_k, n_c, cand_chunk)
     kern = functools.partial(_fwd_kernel, K=int(K))
-    return pl.pallas_call(
-        kern,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
         grid=(nb, n_c),
         in_specs=[
-            _spec((1, G, cand_chunk), lambda b, c: (b, 0, c)),
-            _spec((1, Ca, cand_chunk), lambda b, c, _w=bh_bw: (b // _w, 0, c)),
-            _spec((1, 1, cand_chunk), lambda b, c, _w=bh_bw: (b // _w, 0, c)),
-            _spec((1, R, K), lambda b, c: (b, 0, 0)),
-            _spec((1, R, K), lambda b, c: (b, 0, 0)),
+            _spec((1, Ca, cand_chunk),
+                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, cs[b, c])),
+            _spec((1, 1, cand_chunk),
+                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, cs[b, c])),
+            _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
+            _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
         ],
-        out_specs=_spec((1, R, Ca), lambda b, c: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nb, R, Ca), jnp.float32),
+        out_specs=_spec((1, R, Ca), lambda b, c, cs, ct: (b, 0, 0)),
         scratch_shapes=[pltpu.VMEM((R, Ca), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, R, Ca), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(mask_k, attr_planes, ids_p, sel_b, w_b)
+    )(csel, counts, attr_planes, ids_p, sel_b, w_b)
 
 
 def attr_merge_bwd_attr_pallas(
@@ -224,6 +284,59 @@ def attr_merge_bwd_w_pallas(
     )(mask_k, attr_planes, ids_p, sel_b, g_img)
 
 
+def attr_merge_bwd_unified_pallas(
+    attr_planes, w_b, sel_b, mask_k, ids_p, g_img,
+    bh_bw: int, cand_chunk: int, interpret: bool = False,
+):
+    """(d_attr (B, Ca, P_pad), d_w (nb, R, K)) in one streaming pass.
+
+    The K-compare id match is computed once and shared; d_attr accumulates
+    into a full-width plane block at the visit list's dynamic chunk offset
+    (cf. ``fine_bwd_unified_pallas``)."""
+    from voge_tpu.ops.pallas_fine2 import chunk_visit_lists
+
+    nb, R, K = w_b.shape
+    B, Ca, P_pad = attr_planes.shape
+    n_c = P_pad // cand_chunk
+    Kpad = max(8, -(-K // 8) * 8)
+    csel, counts = chunk_visit_lists(mask_k, n_c, cand_chunk)
+    kern = functools.partial(
+        _bwd_unified_kernel, K=int(K), chunk=int(cand_chunk),
+        bh_bw=int(bh_bw),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, n_c),
+        in_specs=[
+            _spec((1, Ca, cand_chunk),
+                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, cs[b, c])),
+            _spec((1, 1, cand_chunk),
+                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, cs[b, c])),
+            _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
+            _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
+            _spec((1, R, Ca), lambda b, c, cs, ct: (b, 0, 0)),
+        ],
+        out_specs=[
+            _spec((1, Ca, P_pad),
+                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, 0)),
+            _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, Kpad), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Ca, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((nb, R, K), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(csel, counts, attr_planes, ids_p, sel_b, w_b, g_img)
+
+
 # ---------------------------------------------------------------------------
 # custom-VJP wrapper (kernel layout)
 # ---------------------------------------------------------------------------
@@ -254,13 +367,20 @@ def _attr_merge_fwd(attr_planes, w_b, sel_b, mask_k, ids_p,
 def _attr_merge_bwd(bh_bw, cand_chunk, interpret, res, g):
     attr_planes, w_b, sel_b, mask_k, ids_p = res
     K = w_b.shape[2]
-    d_attr = attr_merge_bwd_attr_pallas(
-        attr_planes, w_b, sel_b, mask_k, ids_p, g, bh_bw, cand_chunk,
-        interpret,
-    )
-    d_w = attr_merge_bwd_w_pallas(
-        attr_planes, sel_b, mask_k, ids_p, g, K, bh_bw, cand_chunk, interpret
-    )
+    if attr_planes.shape[2] <= 262144:
+        d_attr, d_w = attr_merge_bwd_unified_pallas(
+            attr_planes, w_b, sel_b, mask_k, ids_p, g, bh_bw, cand_chunk,
+            interpret,
+        )
+    else:
+        d_attr = attr_merge_bwd_attr_pallas(
+            attr_planes, w_b, sel_b, mask_k, ids_p, g, bh_bw, cand_chunk,
+            interpret,
+        )
+        d_w = attr_merge_bwd_w_pallas(
+            attr_planes, sel_b, mask_k, ids_p, g, K, bh_bw, cand_chunk,
+            interpret,
+        )
     g_sel = np.zeros(sel_b.shape, dtype=jax.dtypes.float0)
     g_mask = np.zeros(mask_k.shape, dtype=jax.dtypes.float0)
     g_ids = np.zeros(ids_p.shape, dtype=jax.dtypes.float0)

@@ -66,105 +66,122 @@ def chunk_visit_lists(mask: jax.Array, n_c: int, cand_chunk: int):
     return csel, counts
 
 
-def _kernel(
+def _kernel_t(
     csel_ref,   # (nb, n_c) int32 SMEM: chunk visit list (scalar prefetch)
     cnt_ref,    # (nb,) int32 SMEM: occupied chunk count per bin
-    mask_ref,   # (1, G, C) int8 membership (one row per sub-bin)
-    gf_ref,     # (1, FEAT, C) f32 Gaussian feature planes (batch b_img)
-    ids_ref,    # (1, 1, C) int32 global flattened ORIGINAL candidate ids
-    rf_ref,     # (1, R, FEAT) f32 ray features (G sub-bins' rays stacked)
-    oi_ref, ol_ref, oa_ref, od_ref,   # (1, R, K) outputs
-    run_len, run_act, run_dsd, run_idx,  # (R, _RUNW) scratch
+    mask_ref,   # (1, C, G) int8 membership (one column per sub-bin)
+    gf_ref,     # (1, C, FEAT) f32 packed Gaussian feature table (batch b_img)
+    ids_ref,    # (1, C, 1) int32 global flattened ORIGINAL candidate ids
+    rf_ref,     # (1, FEAT, R) f32 ray feature planes (G sub-bins' rays)
+    oi_ref, ol_ref, oa_ref, od_ref,   # (1, Kp, R) outputs
+    run_len, run_act, run_dsd, run_idx,  # (Kp, R) scratch
     *, thr_act: float, K: int, chunk: int, bh_bw: int, n_gauss: int,
     sub_bins: int,
 ):
+    """Transposed layout: candidates on SUBLANES, rays on LANES.
+
+    Two wins over the lane-major variant: (a) the per-pass reductions of the
+    K-extraction merge run along sublanes (3-step tails) instead of lanes
+    (7-step cross-lane tails) -- the merge was reduction-tail-bound, ~2.3x;
+    (b) the three quadratic forms become real MXU matmuls (C, 3) @ (3, R)
+    and (C, 9) @ (9, R) instead of ~22 VPU outer-product passes.
+    """
     c = pl.program_id(2)
     n_c = pl.num_programs(2)
     b = pl.program_id(0)
 
-    rf = rf_ref[0]                      # (R, FEAT)
-    gf = gf_ref[0]                      # (FEAT, C)
-    m = mask_ref[0]                     # (G, C)
-    R = rf.shape[0]
-    C = gf.shape[1]
-    G = m.shape[0]
+    rf = rf_ref[0]                      # (FEAT, R)
+    tab = gf_ref[0]                     # (C, FEAT)
+    m = mask_ref[0]                     # (C, G)
+    R = rf.shape[1]
+    C = tab.shape[0]
+    G = m.shape[1]
     R_bin = R // G
+    Kp = run_len.shape[0]
 
     @pl.when(c == 0)
     def _():
-        run_len[:] = jnp.full((R, _RUNW), _INF, jnp.float32)
-        run_act[:] = jnp.full((R, _RUNW), _INF, jnp.float32)
-        run_dsd[:] = jnp.zeros((R, _RUNW), jnp.float32)
-        run_idx[:] = jnp.full((R, _RUNW), -1, jnp.int32)
+        run_len[:] = jnp.full((Kp, R), _INF, jnp.float32)
+        run_act[:] = jnp.full((Kp, R), _INF, jnp.float32)
+        run_dsd[:] = jnp.zeros((Kp, R), jnp.float32)
+        run_idx[:] = jnp.full((Kp, R), -1, jnp.int32)
 
     # Only occupied chunks are visited (scalar-prefetched visit list); steps
     # past this bin's occupied count are repeats of the last occupied chunk
     # (same block indices => no DMA) and skipped entirely.
     @pl.when(c < cnt_ref[b])
     def _():
-        mf = m.astype(jnp.float32)
-        # expand per-sub-bin rows to per-ray rows
-        mexp = jnp.broadcast_to(mf[:, None, :], (G, R_bin, C)).reshape(R, C)
-        msk = (
-            rf[:, 0:1] * gf[0:1, :]
-            + rf[:, 1:2] * gf[1:2, :]
-            + rf[:, 2:3] * gf[2:3, :]
-        )
-        ksk = rf[:, 3:4] * gf[4:5, :]
-        for q in range(1, 9):
-            ksk = ksk + rf[:, 3 + q : 4 + q] * gf[4 + q : 5 + q, :]
+        # expand per-sub-bin membership columns to per-ray columns (ray lane
+        # j belongs to sub-bin j // R_bin; lane-dim reshapes are unsupported
+        # by Mosaic, so select by lane iota)
+        lane_bin = jax.lax.broadcasted_iota(jnp.int32, (C, R), 1) // R_bin
+        mexp = jnp.zeros((C, R), jnp.float32)
+        for g in range(G):
+            mexp = jnp.where(
+                lane_bin == g, m[:, g : g + 1].astype(jnp.float32), mexp
+            )
+        msk = jax.lax.dot_general(
+            tab[:, 0:3], rf[0:3, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                        # (C, R)
+        ksk = jax.lax.dot_general(
+            tab[:, 4:13], rf[3:12, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                        # (C, R)
         length = msk / ksk
-        act = gf[3:4, :] - msk * msk / ksk
+        act = tab[:, 3:4] - msk * msk / ksk
         ok = (act < thr_act) & (mexp > 0.5)
         lm = jnp.where(ok, length, _INF)
 
         # global flattened ORIGINAL Gaussian ids come from the streamed ids
         # plane (supports bin-coherent candidate reordering upstream)
-        gidx = jnp.broadcast_to(ids_ref[0], (R, C))
+        gidx = jnp.broadcast_to(ids_ref[0], (C, R))
 
         # merge running state (first: earlier chunks win ties) with chunk
-        cat_len = jnp.concatenate([run_len[:], lm], axis=1)
-        cat_act = jnp.concatenate([run_act[:], act], axis=1)
-        cat_dsd = jnp.concatenate([run_dsd[:], ksk], axis=1)
-        cat_idx = jnp.concatenate([run_idx[:], gidx], axis=1)
-        W = _RUNW + C
-        lane_w = jax.lax.broadcasted_iota(jnp.int32, (R, W), 1)
+        cat_len = jnp.concatenate([run_len[:], lm], axis=0)
+        cat_act = jnp.concatenate([run_act[:], act], axis=0)
+        cat_dsd = jnp.concatenate([run_dsd[:], ksk], axis=0)
+        cat_idx = jnp.concatenate([run_idx[:], gidx], axis=0)
+        W = Kp + C
+        sub_w = jax.lax.broadcasted_iota(jnp.int32, (W, R), 0)
 
-        # K extraction passes.  jnp.argmin along lanes is ~10x slower than
-        # jnp.min on Mosaic, so the first-minimum lane is found with a second
-        # min over the lane iota (ties -> lowest lane, the insertion-sort
+        # K extraction passes.  jnp.argmin is ~10x slower than jnp.min on
+        # Mosaic, so the first-minimum row is found with a second min over
+        # the sublane iota (ties -> lowest row = the insertion-sort
         # tie-break).  Invalid slots extract junk payloads (mn == _INF
-        # matches many lanes); they are re-masked after the loop.
+        # matches many rows); they are re-masked after the loop.
         new_len, new_act, new_dsd, new_idx = [], [], [], []
         for _ in range(K):
-            mn = jnp.min(cat_len, axis=1, keepdims=True)
+            mn = jnp.min(cat_len, axis=0, keepdims=True)
             oh0 = cat_len == mn
-            am = jnp.min(jnp.where(oh0, lane_w, W), axis=1, keepdims=True)
-            oh = lane_w == am
+            am = jnp.min(jnp.where(oh0, sub_w, W), axis=0, keepdims=True)
+            oh = sub_w == am
             new_len.append(mn)
-            new_act.append(jnp.sum(jnp.where(oh, cat_act, 0.0), axis=1, keepdims=True))
-            new_dsd.append(jnp.sum(jnp.where(oh, cat_dsd, 0.0), axis=1, keepdims=True))
-            new_idx.append(jnp.sum(jnp.where(oh, cat_idx, 0), axis=1, keepdims=True))
+            new_act.append(jnp.sum(jnp.where(oh, cat_act, 0.0), axis=0, keepdims=True))
+            new_dsd.append(jnp.sum(jnp.where(oh, cat_dsd, 0.0), axis=0, keepdims=True))
+            new_idx.append(jnp.sum(jnp.where(oh, cat_idx, 0), axis=0, keepdims=True))
             cat_len = jnp.where(oh, _INF, cat_len)
 
-        k_len = jnp.concatenate(new_len, axis=1)               # (R, K)
+        k_len = jnp.concatenate(new_len, axis=0)               # (K, R)
         k_val = k_len < _INF
-        k_act = jnp.where(k_val, jnp.concatenate(new_act, axis=1), _INF)
-        k_dsd = jnp.where(k_val, jnp.concatenate(new_dsd, axis=1), 0.0)
-        k_idx = jnp.where(k_val, jnp.concatenate(new_idx, axis=1), -1)
+        k_act = jnp.where(k_val, jnp.concatenate(new_act, axis=0), _INF)
+        k_dsd = jnp.where(k_val, jnp.concatenate(new_dsd, axis=0), 0.0)
+        k_idx = jnp.where(k_val, jnp.concatenate(new_idx, axis=0), -1)
 
-        pad = _RUNW - K
-        run_len[:] = jnp.concatenate([k_len, jnp.full((R, pad), _INF, jnp.float32)], axis=1)
-        run_act[:] = jnp.concatenate([k_act, jnp.full((R, pad), _INF, jnp.float32)], axis=1)
-        run_dsd[:] = jnp.concatenate([k_dsd, jnp.zeros((R, pad), jnp.float32)], axis=1)
-        run_idx[:] = jnp.concatenate([k_idx, jnp.full((R, pad), -1, jnp.int32)], axis=1)
+        pad = Kp - K
+        run_len[:] = jnp.concatenate([k_len, jnp.full((pad, R), _INF, jnp.float32)], axis=0)
+        run_act[:] = jnp.concatenate([k_act, jnp.full((pad, R), _INF, jnp.float32)], axis=0)
+        run_dsd[:] = jnp.concatenate([k_dsd, jnp.zeros((pad, R), jnp.float32)], axis=0)
+        run_idx[:] = jnp.concatenate([k_idx, jnp.full((pad, R), -1, jnp.int32)], axis=0)
 
     @pl.when(c == n_c - 1)
     def _():
-        oi_ref[0] = run_idx[:, :K]
-        ol_ref[0] = run_len[:, :K]
-        oa_ref[0] = run_act[:, :K]
-        od_ref[0] = run_dsd[:, :K]
+        oi_ref[0] = run_idx[:]
+        ol_ref[0] = run_len[:]
+        oa_ref[0] = run_act[:]
+        od_ref[0] = run_dsd[:]
 
 
 def fine_select_mask_pallas(
@@ -192,49 +209,56 @@ def fine_select_mask_pallas(
 
     csel, counts = chunk_visit_lists(mask, n_c, cand_chunk)
 
+    # transpose to candidate-major layout (candidates on sublanes)
+    mask_t = jnp.swapaxes(mask, 1, 2)           # (nb, P_pad, G)
+    table = jnp.swapaxes(gauss_feat, 1, 2)      # (B, P_pad, FEAT)
+    ids_t = jnp.swapaxes(ids, 1, 2)             # (B, P_pad, 1)
+    rays_t = jnp.swapaxes(rays_feat, 1, 2)      # (nb, FEAT, R_pad)
+
+    Kp = max(8, -(-K // 8) * 8)
     grid = (nb, n_r, n_c)
     kernel = functools.partial(
-        _kernel, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
+        _kernel_t, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
         bh_bw=int(bh_bw), n_gauss=int(n_gauss), sub_bins=int(G),
     )
     out_shapes = [
-        jax.ShapeDtypeStruct((nb, R_pad, K), jnp.int32),
-        jax.ShapeDtypeStruct((nb, R_pad, K), jnp.float32),
-        jax.ShapeDtypeStruct((nb, R_pad, K), jnp.float32),
-        jax.ShapeDtypeStruct((nb, R_pad, K), jnp.float32),
+        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.int32),
+        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
+        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
+        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
     ]
     out_spec = pl.BlockSpec(
-        (1, ray_chunk, K), lambda b, r, c, csel, cnt: (b, r, 0),
+        (1, Kp, ray_chunk), lambda b, r, c, csel, cnt: (b, 0, r),
         memory_space=pltpu.VMEM,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, G, cand_chunk),
-                         lambda b, r, c, csel, cnt: (b, 0, csel[b, c]),
+            pl.BlockSpec((1, cand_chunk, G),
+                         lambda b, r, c, csel, cnt: (b, csel[b, c], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, FEAT, cand_chunk),
+            pl.BlockSpec((1, cand_chunk, FEAT),
                          lambda b, r, c, csel, cnt, _bw=int(bh_bw):
-                             (b // _bw, 0, csel[b, c]),
+                             (b // _bw, csel[b, c], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cand_chunk),
+            pl.BlockSpec((1, cand_chunk, 1),
                          lambda b, r, c, csel, cnt, _bw=int(bh_bw):
-                             (b // _bw, 0, csel[b, c]),
+                             (b // _bw, csel[b, c], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_chunk, FEAT),
-                         lambda b, r, c, csel, cnt: (b, r, 0),
+            pl.BlockSpec((1, FEAT, ray_chunk),
+                         lambda b, r, c, csel, cnt: (b, 0, r),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec] * 4,
         scratch_shapes=[
-            pltpu.VMEM((ray_chunk, _RUNW), jnp.float32),
-            pltpu.VMEM((ray_chunk, _RUNW), jnp.float32),
-            pltpu.VMEM((ray_chunk, _RUNW), jnp.float32),
-            pltpu.VMEM((ray_chunk, _RUNW), jnp.int32),
+            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
+            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
+            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
+            pltpu.VMEM((Kp, ray_chunk), jnp.int32),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
@@ -247,4 +271,6 @@ def fine_select_mask_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(csel, counts, mask, gauss_feat, ids, rays_feat)
+    )(csel, counts, mask_t, table, ids_t, rays_t)
+    # back to ray-major (nb, R_pad, K) for downstream consumers
+    return tuple(jnp.swapaxes(x, 1, 2)[:, :, :K] for x in out)

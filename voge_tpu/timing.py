@@ -32,31 +32,33 @@ def measure(fn: Callable, args_list: Sequence, n1: int = 5, n2: int = 25,
     ``args_list``: sequence of argument tuples, cycled through (pass several
     distinct sets to defeat any caching).
 
-    The relay attachment occasionally stalls a run for seconds (program
-    reload), which can make ``t(n2) - t(n1)`` nonpositive or wildly off; a
-    nonpositive difference is retried, and the smallest positive estimate
-    across retries is kept (stalls only ever inflate a run).
+    Reliability notes for the relay attachment:
+      - a stall (program reload) can make ``t(n2) - t(n1)`` nonpositive ->
+        such attempts are retried;
+      - REPEATED inputs can be served from a result cache, deflating later
+        runs -> when ``args_list`` is long enough, every execution gets a
+        distinct argument set and no estimate-minimum is taken.
     """
     k = len(args_list)
     out = fn(*args_list[0])
     _force(out)  # warmup (compile + one real exec)
 
+    cursor = [1 if k > n1 + n2 else 0]
+
     def run(n):
         t0 = time.perf_counter()
         out = None
         for i in range(n):
-            out = fn(*args_list[i % k])
+            out = fn(*args_list[(cursor[0] + i) % k])
+        cursor[0] += n
         _force(out)
         return time.perf_counter() - t0
 
-    best = None
+    est = None
     for _ in range(max_retries):
         t1 = run(n1)
         t2 = run(n2)
         est = (t2 - t1) / (n2 - n1)
         if est > 0:
-            best = est if best is None else min(best, est)
-            if best * n2 > 0.2 * (t1 + t2):
-                # estimate consistent with total wall time -> trust it
-                break
-    return best if best is not None else 1e-9
+            break
+    return est if est is not None and est > 0 else 1e-9
