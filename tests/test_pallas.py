@@ -195,6 +195,21 @@ def test_pallas_bwd_kernels_match_xla_bwd(rng):
     np.testing.assert_allclose(np.asarray(gg_u), np.asarray(gg), rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rb_u), np.asarray(rb), rtol=1e-6, atol=1e-6)
 
+    # compacted-candidate backward (kernel + segment_sum scatter-back) must
+    # also match
+    from voge_tpu.ops.pallas_bwd import fine_bwd_compact_pallas
+    from voge_tpu.ops.pallas_fine2 import compact_candidates
+
+    table_c, bits_c, ids_c, pos_c, counts_c, _over = compact_candidates(
+        mf, gf, ids_p, M_max=128, bh_bw=BH * BW,
+    )
+    gg_c, rb_c = fine_bwd_compact_pallas(
+        rays_feat, table_c, ids_c, pos_c, counts_c, *args,
+        K=K, B=B, P_pad=P_pad, ray_chunk=8, cand_chunk=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(gg_c), np.asarray(gg), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rb_c), np.asarray(rb), rtol=1e-6, atol=1e-6)
+
 
 def test_supertile_grouping_roundtrip(rng):
     from voge_tpu.ops.fine import _group_supertiles, _ungroup_supertiles

@@ -36,8 +36,8 @@ def _scene(rng, B=2, H=20, W=20, P=80, K=6, bin_size=5, Ca=3):
         R_, T_, focal, principal, mus, isig_b, (H, W), bin_size, base_ids)
     mask = overlap_mask(R_, T_, focal, principal, pts, isg, (H, W), 0.01,
                         bin_size)
-    sel_k = F._rt_fine_kern(pts, isg, rays, mask, ids, thr_act,
-                            (bin_size, bin_size), K)
+    sel_k, _aux = F._rt_fine_kern(pts, isg, rays, mask, ids, thr_act,
+                                  (bin_size, bin_size), K)
     # kernel-layout weights: a positive deterministic stand-in for agg
     w_k = jnp.where(sel_k[0] >= 0,
                     1.0 / (1.0 + jnp.abs(sel_k[1])) + 0.1, 0.0)
@@ -162,3 +162,40 @@ def test_attr_merge_custom_vjp_interpret(rng):
     assert np.isfinite(np.asarray(ga)).all()
     assert np.isfinite(np.asarray(gw)).all()
     assert float(jnp.abs(ga).max()) > 0 and float(jnp.abs(gw).max()) > 0
+
+
+def test_attr_merge_compact_matches_binned(rng):
+    """Compacted-candidate attribute compositing (gather + kernel +
+    scatter-back VJP) must match the global-space path at full capacity."""
+    from voge_tpu.ops.pallas_attr import attr_merge_compact
+    from voge_tpu.ops.pallas_fine2 import compact_candidates
+
+    sel_k, w_k, mask_flat, ids_p, planes, attr, geom = _scene(rng)
+    B = geom["B"]
+    P_pad = planes.shape[2]
+    gf_dummy = jnp.zeros((B, 16, P_pad), jnp.float32)
+    table_c, bits_c, ids_c, pos_c, counts_c, _over = compact_candidates(
+        mask_flat, gf_dummy, ids_p, M_max=P_pad, bh_bw=geom["bh_bw"],
+    )
+    g = jnp.asarray(rng.rand(*(w_k.shape[:2] + (8,))).astype(np.float32))
+
+    def f_ref(planes_, w_):
+        img = attr_merge_binned(planes_, w_, sel_k, mask_flat, ids_p,
+                                geom["bh_bw"], geom["cand_chunk"], True)
+        return jnp.sum(img * g), img
+
+    def f_cmp(planes_, w_):
+        img = attr_merge_compact(planes_, w_, sel_k, ids_c, pos_c, counts_c,
+                                 B, True)
+        return jnp.sum(img * g), img
+
+    (v0, img0), (ga0, gw0) = jax.value_and_grad(f_ref, argnums=(0, 1),
+                                                has_aux=True)(planes, w_k)
+    (v1, img1), (ga1, gw1) = jax.value_and_grad(f_cmp, argnums=(0, 1),
+                                                has_aux=True)(planes, w_k)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw0),
+                               rtol=1e-5, atol=1e-6)

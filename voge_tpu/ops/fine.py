@@ -418,35 +418,48 @@ def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size):
         # bound the (ray_chunk x cand_chunk) working set: largest divisor of
         # R_pad that is a multiple of 8 and <= 256
         bh_bw, rc = BH * BW, _pick_rc(R_pad)
-    return dict(
+    prep = dict(
         rf_k=rf_k, mask_k=mask_k, ids_p=ids_p, gauss_feat=gauss_feat,
         use_pallas=use_pallas, grouped=grouped, bh_bw=bh_bw, rc=rc,
         cand_chunk=cand_chunk, B=B, H=H, W=W, P=P, BH=BH, BW=BW,
         bsh=bsh, bsw=bsw, R=R, R_pad=R_pad,
     )
+    if use_pallas:
+        # Per-supertile candidate compaction for the select kernel: the
+        # membership of a supertile is Morton-clustered plus scattered
+        # neighbor spill; compaction removes the ~4-8x lane inflation from
+        # spill fragmentation.  Capacity is static; members beyond it are
+        # deterministically dropped (the reference truncates at
+        # max_points_per_bin the same way) with the count reported.
+        from voge_tpu.ops.pallas_fine2 import compact_candidates
+
+        M_max = _pick_m_max(P_pad, bh_bw, cand_chunk)
+        (prep["table_c"], prep["bits_c"], prep["ids_c"], prep["pos_c"],
+         prep["counts_c"], prep["overflow_c"]) = compact_candidates(
+            mask_k, gauss_feat, ids_p, M_max, bh_bw,
+        )
+        prep["m_max"] = M_max
+        prep["rays_t"] = jnp.swapaxes(rf_k, 1, 2)
+    return prep
+
+
+def _pick_m_max(P_pad: int, bins_per_image: int, cand_chunk: int) -> int:
+    """Static per-supertile candidate capacity: ~8x the mean Gaussians per
+    supertile (measured max occupancy is ~4x the mean at the benchmark
+    workloads), at least 512, at most all of them."""
+    target = max(512, 8 * P_pad // max(bins_per_image, 1))
+    return min(P_pad, _ceil_to(target, cand_chunk))
 
 
 def _mask_path_select(prep, thr_act, K):
     """Run the selection kernel on prepped tensors; returns (sel, prep)."""
-    from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
-
     p = prep
     B, BH, BW, H, W = p["B"], p["BH"], p["BW"], p["H"], p["W"]
-    if p["use_pallas"]:
-        sel_k = fine_select_mask_pallas(
-            p["rf_k"], p["gauss_feat"], p["mask_k"], p["ids_p"], thr_act, K,
-            bh_bw=p["bh_bw"], n_gauss=p["P"], ray_chunk=p["rc"],
-            cand_chunk=p["cand_chunk"],
-        )
-        if p["grouped"]:
-            sel = tuple(_ungroup_supertiles(x, B, BH, BW) for x in sel_k)
-        else:
-            sel = sel_k
+    sel_k = _mask_path_select_kern(prep, thr_act, K)
+    if p["use_pallas"] and p["grouped"]:
+        sel = tuple(_ungroup_supertiles(x, B, BH, BW) for x in sel_k)
     else:
-        sel = _xla_select_mask(
-            p["rf_k"], p["gauss_feat"], p["mask_k"][:, 0, :], p["ids_p"],
-            thr_act, K, p["bh_bw"], p["P"],
-        )
+        sel = sel_k
     out = []
     for x in sel:
         out.append(_unbin(x[:, : p["R"], :], B, BH, BW, H, W, p["bsh"], p["bsw"]))
@@ -473,14 +486,21 @@ def _pick_cand_chunk_bwd(P: int) -> int:
 def _mask_path_select_kern(prep, thr_act, K):
     """Selection in KERNEL layout (grouped supertiles on TPU): returns the
     4-tuple (sel_idx, sel_len, sel_act, sel_dsd), each (nst, R_kern, K)."""
-    from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
+    from voge_tpu.ops.pallas_fine2 import (
+        fine_select_compact_pallas,
+        prefix_visit_lists,
+    )
 
     p = prep
     if p["use_pallas"]:
-        return fine_select_mask_pallas(
-            p["rf_k"], p["gauss_feat"], p["mask_k"], p["ids_p"], thr_act, K,
-            bh_bw=p["bh_bw"], n_gauss=p["P"], ray_chunk=p["rc"],
-            cand_chunk=p["cand_chunk"],
+        csel, counts = prefix_visit_lists(
+            p["counts_c"], p["m_max"], p["cand_chunk"]
+        )
+        G = p["mask_k"].shape[1]
+        return fine_select_compact_pallas(
+            p["rays_t"], p["table_c"], p["bits_c"], p["ids_c"], csel, counts,
+            thr_act, K, sub_bins=G, ray_chunk=p["rc"],
+            cand_chunk=p["cand_chunk"], per_bin_cand=True,
         )
     return _xla_select_mask(
         p["rf_k"], p["gauss_feat"], p["mask_k"][:, 0, :], p["ids_p"],
@@ -503,26 +523,43 @@ def _is_grouped(BH, BW):
 def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
     """Fine selection with the custom-VJP boundary at KERNEL layout: callers
     (renderer) run aggregation in this layout and unbin once for Fragments,
-    so backward cotangents arrive without any re-binning shuffles."""
+    so backward cotangents arrive without any re-binning shuffles.
+
+    :return: (sel4, aux) — aux is the compacted candidate context
+        (ids_c, pos_c, counts_c) on the Pallas path (consumed by the fused
+        attribute kernels), else None.
+    """
     prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size)
-    return _mask_path_select_kern(prep, thr_act, K)
+    sel = _mask_path_select_kern(prep, thr_act, K)
+    aux = (
+        (prep["ids_c"], prep["pos_c"], prep["counts_c"])
+        if prep["use_pallas"] else None
+    )
+    return sel, aux
 
 
 def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
     prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size)
     out = _mask_path_select_kern(prep, thr_act, K)
-    # Save the kernel-ready tensors: rebuilding the grouped ray features /
-    # mask costs ~5 ms of pure layout shuffles at the 256^2 workload.
-    saved = (
-        (prep["rf_k"], prep["mask_k"], prep["ids_p"], prep["gauss_feat"])
+    aux = (
+        (prep["ids_c"], prep["pos_c"], prep["counts_c"])
         if prep["use_pallas"] else None
     )
-    return out, (mus, isigmas, rays, out[0], mask, ids, saved)
+    # Save the kernel-ready tensors: rebuilding the grouped ray features /
+    # compacted candidate table costs ms of pure layout work at 256^2.
+    saved = (
+        (prep["rf_k"], prep["table_c"], prep["ids_c"], prep["pos_c"],
+         prep["counts_c"])
+        if prep["use_pallas"] else None
+    )
+    return (out, aux), (mus, isigmas, rays, out[0], mask, ids, saved)
 
 
 def _ray_trace_fine_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
     """Image-layout interface over :func:`_rt_fine_kern` (legacy/tests)."""
-    sel_k = _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K)
+    sel_k, _aux = _rt_fine_kern(
+        mus, isigmas, rays, mask, ids, thr_act, bin_size, K
+    )
     B, H, W, _ = rays.shape
     _, BH, BW, _ = mask.shape
     bsh, bsw = bin_size
@@ -592,6 +629,7 @@ def _pick_rc(R_pad: int) -> int:
 
 def _rt_fine_kern_bwd(thr_act, bin_size, K, res, g):
     mus, isigmas, rays, sel_idx_k, mask, ids, saved = res
+    g = g[0]  # aux outputs are integer-valued (float0 cotangents)
     B, P = mus.shape[0], mus.shape[1]
     g_mask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
     g_ids = np.zeros(ids.shape, dtype=jax.dtypes.float0)
@@ -601,44 +639,26 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, res, g):
     grouped = _is_grouped(BH, BW)
 
     if jax.default_backend() == "tpu" and saved is not None:
-        from voge_tpu.ops.pallas_bwd import (
-            fine_bwd_gauss_pallas,
-            fine_bwd_rays_pallas,
-            fine_bwd_unified_pallas,
-        )
+        from voge_tpu.ops.pallas_bwd import fine_bwd_compact_pallas
 
         # cotangents arrive in kernel layout — no re-binning needed
         _, g_len_k, g_act_k, g_dsd_k = g
-        cand_chunk = _pick_cand_chunk_bwd(P)
-        rays_feat, mask_k, ids_p, gauss_feat = saved
+        rays_feat, table_c, ids_c, pos_c, counts_c = saved
         R_pad = _ceil_to(bsh * bsw, 8)
         args = (sel_idx_k, g_len_k, g_act_k, g_dsd_k)
         if grouped:
-            BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
-            bh_bw, rc = BH2 * BW2, rays_feat.shape[1]
+            rc = rays_feat.shape[1]
         else:
-            bh_bw, rc = BH * BW, _pick_rc(R_pad)
-        P_pad = gauss_feat.shape[2]
-        if P_pad <= _UNIFIED_BWD_MAX_PPAD:
-            # one streaming pass computes both outputs (the coefficient
-            # reconstruction is shared); per-Gaussian grads accumulate into
-            # a VMEM-resident full-width plane block
-            gg, rb = fine_bwd_unified_pallas(
-                rays_feat, gauss_feat, mask_k, ids_p, *args,
-                thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
-                ray_chunk=rc, cand_chunk=cand_chunk,
-            )
-        else:
-            gg = fine_bwd_gauss_pallas(
-                rays_feat, gauss_feat, mask_k, ids_p, *args,
-                thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
-                ray_chunk=rc, cand_chunk=cand_chunk,
-            )
-            rb = fine_bwd_rays_pallas(
-                rays_feat, gauss_feat, mask_k, ids_p, *args,
-                thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
-                ray_chunk=rc, cand_chunk=cand_chunk,
-            )
+            rc = _pick_rc(R_pad)
+        M_max = table_c.shape[1]
+        cc_opts = [c for c in (1024, 512, 256, 128) if M_max % c == 0]
+        cc = max(cc_opts) if cc_opts else M_max
+        cc_align = max(_pick_cand_chunk(P), _pick_cand_chunk_bwd(P))
+        P_pad = _ceil_to(max(P, cc_align), cc_align)
+        gg, rb = fine_bwd_compact_pallas(
+            rays_feat, table_c, ids_c, pos_c, counts_c, *args,
+            K=K, B=B, P_pad=P_pad, ray_chunk=rc, cand_chunk=cc,
+        )
         grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
         grad_isg = jnp.stack(
             [gg[:, 3 + q, :P] for q in range(9)], axis=-1
@@ -789,32 +809,30 @@ def ray_tracing(
             int(n_assign),
         )
 
-    # ctx path: KERNEL-layout selections + everything the fused attribute
-    # compositing kernels need (voge_tpu/ops/pallas_attr.py)
-    sel_k = _rt_fine_kern(
+    # ctx path: KERNEL-layout selections + the compacted candidate context
+    # the fused attribute compositing kernels need (pallas_attr.py)
+    sel_k, aux = _rt_fine_kern(
         points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
         int(n_assign),
     )
+    if aux is None:
+        return (sel_k, None) if return_ctx else sel_k
     _, BH, BW, _ = mask.shape
     bsh, bsw = eff_bin
     grouped = _is_grouped(BH, BW)
-    # attribute kernels are lane-major: they use the wide bwd chunking
-    cand_chunk = _pick_cand_chunk_bwd(P)
-    cc_align = max(cand_chunk, _pick_cand_chunk(P))
+    cc_align = max(_pick_cand_chunk(P), _pick_cand_chunk_bwd(P))
     P_pad = _ceil_to(max(P, cc_align), cc_align)
-    mask_flat = mask.reshape(B * BH * BW, P).astype(jnp.int8)
-    if P_pad > P:
-        mask_flat = jnp.pad(mask_flat, ((0, 0), (0, P_pad - P)))
+    ids_c, pos_c, counts_c = aux
     if grouped:
-        mask_k, BH2, BW2 = _group_supertiles(mask_flat[:, None, :], B, BH, BW)
+        BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
         bh_bw = BH2 * BW2
     else:
-        mask_k, bh_bw = mask_flat[:, None, :], BH * BW
+        bh_bw = BH * BW
     ctx = dict(
-        mask_k=mask_k,
-        ids_p=_prep_ids(ids, P, P_pad),
+        ids_c=ids_c, pos_c=pos_c, counts_c=counts_c,
         perm=perm,
-        geom=(B, H, W, BH, BW, bsh, bsw, grouped, bh_bw, cand_chunk, P, P_pad),
+        geom=(B, H, W, BH, BW, bsh, bsw, grouped, bh_bw,
+              pos_c.shape[1], P, P_pad),
     )
     return sel_k, ctx
 

@@ -93,11 +93,15 @@ def _bwd_unified_kernel(csel_ref, cnt_ref, attr_ref, ids_ref, sel_ref, w_ref,
         w = w_ref[0]
         g = g_ref[0]
         R, C = sel.shape[0], ids.shape[1]
-        # s[r, j] = g_img[r] . attr[j]  — (R, Ca) @ (Ca, C)
+        # s[r, j] = g_img[r] . attr[j]  — (R, Ca) @ (Ca, C).  Padding slots
+        # (id == -1) can match invalid selections (also -1); in a compacted
+        # candidate table they carry real gathered attribute rows, so gate
+        # them out of the d_w extraction.
         s = jax.lax.dot_general(
             g, attr_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         )
+        s = jnp.where(ids >= 0, s, 0.0)
         Wc = jnp.zeros((R, C), jnp.float32)
         cols = []
         for k in range(K):
@@ -195,18 +199,32 @@ def attr_merge_fwd_pallas(
     from voge_tpu.ops.pallas_fine2 import chunk_visit_lists
 
     nb, R, K = w_b.shape
-    B, Ca, P_pad = attr_planes.shape
+    P_pad = attr_planes.shape[2]
     n_c = P_pad // cand_chunk
     csel, counts = chunk_visit_lists(mask_k, n_c, cand_chunk)
+    return _attr_fwd_call(
+        attr_planes, ids_p, sel_b, w_b, csel, counts,
+        cand_chunk=cand_chunk, per_bin_cand=False, bh_bw=bh_bw,
+        interpret=interpret,
+    )
+
+
+def _attr_fwd_call(attr_planes, ids_p, sel_b, w_b, csel, counts,
+                   cand_chunk, per_bin_cand, bh_bw, interpret):
+    nb, R, K = w_b.shape
+    NB, Ca, C_total = attr_planes.shape
+    n_c = C_total // cand_chunk
+    if per_bin_cand:
+        cmap = lambda b, c, cs, ct: (b, 0, cs[b, c])
+    else:
+        cmap = lambda b, c, cs, ct, _w=int(bh_bw): (b // _w, 0, cs[b, c])
     kern = functools.partial(_fwd_kernel, K=int(K))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb, n_c),
         in_specs=[
-            _spec((1, Ca, cand_chunk),
-                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, cs[b, c])),
-            _spec((1, 1, cand_chunk),
-                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, cs[b, c])),
+            _spec((1, Ca, cand_chunk), cmap),
+            _spec((1, 1, cand_chunk), cmap),
             _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
             _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
         ],
@@ -295,30 +313,48 @@ def attr_merge_bwd_unified_pallas(
     (cf. ``fine_bwd_unified_pallas``)."""
     from voge_tpu.ops.pallas_fine2 import chunk_visit_lists
 
-    nb, R, K = w_b.shape
-    B, Ca, P_pad = attr_planes.shape
+    P_pad = attr_planes.shape[2]
     n_c = P_pad // cand_chunk
-    Kpad = max(8, -(-K // 8) * 8)
     csel, counts = chunk_visit_lists(mask_k, n_c, cand_chunk)
+    return _attr_bwd_call(
+        attr_planes, ids_p, sel_b, w_b, g_img, csel, counts,
+        cand_chunk=cand_chunk, per_bin_cand=False, bh_bw=bh_bw,
+        interpret=interpret,
+    )
+
+
+def _attr_bwd_call(attr_planes, ids_p, sel_b, w_b, g_img, csel, counts,
+                   cand_chunk, per_bin_cand, bh_bw, interpret):
+    nb, R, K = w_b.shape
+    NB, Ca, C_total = attr_planes.shape
+    n_c = C_total // cand_chunk
+    Kpad = max(8, -(-K // 8) * 8)
+    if per_bin_cand:
+        cmap = lambda b, c, cs, ct: (b, 0, cs[b, c])
+        omap = lambda b, c, cs, ct: (b, 0, 0)
+        eff_bh_bw = 1
+        out_bins = nb
+    else:
+        cmap = lambda b, c, cs, ct, _w=int(bh_bw): (b // _w, 0, cs[b, c])
+        omap = lambda b, c, cs, ct, _w=int(bh_bw): (b // _w, 0, 0)
+        eff_bh_bw = bh_bw
+        out_bins = NB
     kern = functools.partial(
         _bwd_unified_kernel, K=int(K), chunk=int(cand_chunk),
-        bh_bw=int(bh_bw),
+        bh_bw=int(eff_bh_bw),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb, n_c),
         in_specs=[
-            _spec((1, Ca, cand_chunk),
-                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, cs[b, c])),
-            _spec((1, 1, cand_chunk),
-                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, cs[b, c])),
+            _spec((1, Ca, cand_chunk), cmap),
+            _spec((1, 1, cand_chunk), cmap),
             _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
             _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
             _spec((1, R, Ca), lambda b, c, cs, ct: (b, 0, 0)),
         ],
         out_specs=[
-            _spec((1, Ca, P_pad),
-                  lambda b, c, cs, ct, _w=bh_bw: (b // _w, 0, 0)),
+            _spec((1, Ca, C_total), omap),
             _spec((1, R, K), lambda b, c, cs, ct: (b, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((R, Kpad), jnp.float32)],
@@ -327,7 +363,7 @@ def attr_merge_bwd_unified_pallas(
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, Ca, P_pad), jnp.float32),
+            jax.ShapeDtypeStruct((out_bins, Ca, C_total), jnp.float32),
             jax.ShapeDtypeStruct((nb, R, K), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -335,6 +371,92 @@ def attr_merge_bwd_unified_pallas(
         ),
         interpret=interpret,
     )(csel, counts, attr_planes, ids_p, sel_b, w_b, g_img)
+
+
+# ---------------------------------------------------------------------------
+# compacted-candidate custom VJP (production path)
+# ---------------------------------------------------------------------------
+
+def _gather_attr_compact(attr_planes, pos_c, B, P_pad):
+    """(B, Ca, P_pad) sorted-order planes -> (nb, Ca, M_max) per-supertile
+    compacted planes via one flat row-gather."""
+    nb, M_max = pos_c.shape
+    Ca = attr_planes.shape[1]
+    rows = jnp.swapaxes(attr_planes, 1, 2).reshape(B * P_pad, Ca)
+    img = jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
+    flat = (img * P_pad + pos_c).reshape(-1)
+    g = rows[flat].reshape(nb, M_max, Ca)
+    return jnp.swapaxes(g, 1, 2)
+
+
+def _attr_cc(M_max: int) -> int:
+    opts = [c for c in (1024, 512, 256, 128) if M_max % c == 0]
+    return max(opts) if opts else M_max
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def attr_merge_compact(attr_planes, w_b, sel_b, ids_c, pos_c, counts_c,
+                       B, interpret=False):
+    """img_b[r] = sum_k w_b[r, k] * attr[sel_b[r, k]] over the per-supertile
+    COMPACTED candidate space.
+
+    :param attr_planes: (B, Ca_pad, P_pad) attribute planes in sorted
+        candidate order
+    :param w_b / sel_b: (nb, R, K) weights / original global ids
+    :param ids_c / pos_c / counts_c: compaction context from the fine stage
+    :return: (nb, R, Ca_pad)
+    """
+    return _attr_merge_compact_fwd(
+        attr_planes, w_b, sel_b, ids_c, pos_c, counts_c, B, interpret
+    )[0]
+
+
+def _attr_merge_compact_fwd(attr_planes, w_b, sel_b, ids_c, pos_c, counts_c,
+                            B, interpret):
+    from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
+
+    P_pad = attr_planes.shape[2]
+    M_max = pos_c.shape[1]
+    cc = _attr_cc(M_max)
+    csel, counts = prefix_visit_lists(counts_c, M_max, cc)
+    attr_c = _gather_attr_compact(attr_planes, pos_c, B, P_pad)
+    ids_row = jnp.swapaxes(ids_c, 1, 2)
+    out = _attr_fwd_call(
+        attr_c, ids_row, sel_b, w_b, csel, counts,
+        cand_chunk=cc, per_bin_cand=True, bh_bw=1, interpret=interpret,
+    )
+    return out, (attr_c, w_b, sel_b, ids_c, pos_c, counts_c, P_pad)
+
+
+def _attr_merge_compact_bwd(B, interpret, res, g):
+    from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
+
+    attr_c, w_b, sel_b, ids_c, pos_c, counts_c, P_pad = res
+    nb, M_max = pos_c.shape
+    Ca = attr_c.shape[1]
+    cc = _attr_cc(M_max)
+    csel, counts = prefix_visit_lists(counts_c, M_max, cc)
+    ids_row = jnp.swapaxes(ids_c, 1, 2)
+    d_attr_c, d_w = _attr_bwd_call(
+        attr_c, ids_row, sel_b, w_b, g, csel, counts,
+        cand_chunk=cc, per_bin_cand=True, bh_bw=1, interpret=interpret,
+    )
+    # scatter-back to sorted space (invalid slots -> dump segment)
+    rows = jnp.swapaxes(d_attr_c, 1, 2).reshape(nb * M_max, Ca)
+    iota = jnp.arange(M_max, dtype=jnp.int32)[None]
+    valid = iota < counts_c[:, None]
+    img = jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
+    flat = jnp.where(valid, img * P_pad + pos_c, B * P_pad).reshape(-1)
+    summed = jax.ops.segment_sum(rows, flat, num_segments=B * P_pad + 1)
+    d_attr = jnp.swapaxes(summed[: B * P_pad].reshape(B, P_pad, Ca), 1, 2)
+    g_sel = np.zeros(sel_b.shape, dtype=jax.dtypes.float0)
+    g_ids = np.zeros(ids_c.shape, dtype=jax.dtypes.float0)
+    g_pos = np.zeros(pos_c.shape, dtype=jax.dtypes.float0)
+    g_cnt = np.zeros(counts_c.shape, dtype=jax.dtypes.float0)
+    return d_attr, d_w, g_sel, g_ids, g_pos, g_cnt
+
+
+attr_merge_compact.defvjp(_attr_merge_compact_fwd, _attr_merge_compact_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,12 @@ def _coeffs_and_forms(rf, gf, ids, sel, gl, ga, gd, K):
         Gl = Gl + jnp.where(oh, gl[:, k : k + 1], 0.0)
         Ga = Ga + jnp.where(oh, ga[:, k : k + 1], 0.0)
         Gd = Gd + jnp.where(oh, gd[:, k : k + 1], 0.0)
+    # padding candidates (id == -1) match invalid selections (also -1); in
+    # a compacted table they carry real gathered features, so gate them out
+    ok = (gidx >= 0).astype(jnp.float32)
+    Gl = Gl * ok
+    Ga = Ga * ok
+    Gd = Gd * ok
 
     msk = rf[:, 0:1] * gf[0:1, :] + rf[:, 1:2] * gf[1:2, :] + rf[:, 2:3] * gf[2:3, :]
     ksk = rf[:, 3:4] * gf[4:5, :]
@@ -234,6 +240,67 @@ def _bwd_unified_kernel(
         or_ref[0] = acc[:]
 
 
+def _bwd_unified_call(
+    rays_feat, gauss_planes, ids_row, csel, counts, sel_b, gl_b, ga_b, gd_b,
+    K: int, ray_chunk: int, cand_chunk: int, per_bin_cand: bool,
+    bh_bw: int, interpret: bool,
+):
+    """Shared pallas_call for the unified backward.  ``gauss_planes``
+    (NB, FEAT, C_total) / ``ids_row`` (NB, 1, C_total) are per bin
+    (NB == nb, compacted) or per image (NB == B)."""
+    nb, R_pad, _ = rays_feat.shape
+    NB, _, C_total = gauss_planes.shape
+    n_r = R_pad // ray_chunk
+    n_c = C_total // cand_chunk
+    if per_bin_cand:
+        cmap = lambda b, r, c, cs, ct: (b, 0, cs[b, c])
+        omap = lambda b, r, c, cs, ct: (b, 0, 0)
+        out_bins = nb
+        eff_bh_bw = 1
+    else:
+        cmap = lambda b, r, c, cs, ct, _bw=int(bh_bw): (b // _bw, 0, cs[b, c])
+        omap = lambda b, r, c, cs, ct, _bw=int(bh_bw): (b // _bw, 0, 0)
+        out_bins = NB
+        eff_bh_bw = bh_bw
+    kernel = functools.partial(
+        _bwd_unified_kernel, K=int(K), chunk=int(cand_chunk),
+        bh_bw=int(eff_bh_bw),
+    )
+    slot = pl.BlockSpec((1, ray_chunk, K), lambda b, r, c, cs, ct: (b, r, 0),
+                        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, n_r, n_c),
+        in_specs=[
+            pl.BlockSpec((1, FEAT, cand_chunk), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, cand_chunk), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_chunk, FEAT),
+                         lambda b, r, c, cs, ct: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+            slot, slot, slot, slot,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, FEAT, C_total), omap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_chunk, FEAT),
+                         lambda b, r, c, cs, ct: (b, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((ray_chunk, FEAT), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((out_bins, FEAT, C_total), jnp.float32),
+            jax.ShapeDtypeStruct((nb, R_pad, FEAT), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(csel, counts, gauss_planes, ids_row, rays_feat, sel_b, gl_b, ga_b, gd_b)
+
+
 def fine_bwd_unified_pallas(
     rays_feat, gauss_feat, mask, ids, sel_b, gl_b, ga_b, gd_b,
     thr_act: float, K: int, bh_bw: int, n_gauss: int,
@@ -253,57 +320,56 @@ def fine_bwd_unified_pallas(
     """
     from voge_tpu.ops.pallas_fine2 import chunk_visit_lists
 
-    nb, R_pad, _ = rays_feat.shape
-    B, _, P_pad = gauss_feat.shape
-    n_r = R_pad // ray_chunk
+    P_pad = gauss_feat.shape[2]
     n_c = P_pad // cand_chunk
     csel, counts = chunk_visit_lists(mask, n_c, cand_chunk)
-    kernel = functools.partial(
-        _bwd_unified_kernel, K=int(K), chunk=int(cand_chunk),
-        bh_bw=int(bh_bw),
+    return _bwd_unified_call(
+        rays_feat, gauss_feat, ids, csel, counts, sel_b, gl_b, ga_b, gd_b,
+        K=K, ray_chunk=ray_chunk, cand_chunk=cand_chunk, per_bin_cand=False,
+        bh_bw=bh_bw, interpret=interpret,
     )
-    slot = pl.BlockSpec((1, ray_chunk, K), lambda b, r, c, cs, ct: (b, r, 0),
-                        memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb, n_r, n_c),
-        in_specs=[
-            pl.BlockSpec((1, FEAT, cand_chunk),
-                         lambda b, r, c, cs, ct, _bw=int(bh_bw):
-                             (b // _bw, 0, cs[b, c]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cand_chunk),
-                         lambda b, r, c, cs, ct, _bw=int(bh_bw):
-                             (b // _bw, 0, cs[b, c]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_chunk, FEAT),
-                         lambda b, r, c, cs, ct: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            slot, slot, slot, slot,
-        ],
-        out_specs=[
-            pl.BlockSpec((1, FEAT, P_pad),
-                         lambda b, r, c, cs, ct, _bw=int(bh_bw):
-                             (b // _bw, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_chunk, FEAT),
-                         lambda b, r, c, cs, ct: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((ray_chunk, FEAT), jnp.float32)],
+
+
+def fine_bwd_compact_pallas(
+    rays_feat,          # (nb, R_pad, FEAT)
+    table_c,            # (nb, M_max, FEAT) compacted candidate rows
+    ids_c,              # (nb, M_max, 1) int32 original ids (-1 pad)
+    pos_c,              # (nb, M_max) int32 source (sorted-space) positions
+    counts_c,           # (nb,) member counts (<= M_max)
+    sel_b, gl_b, ga_b, gd_b,
+    K: int, B: int, P_pad: int,
+    ray_chunk: int, cand_chunk: int, interpret: bool = False,
+):
+    """Unified backward over the per-supertile COMPACTED candidate space.
+
+    The kernel accumulates per-(supertile, compacted-slot) gradient planes;
+    a deterministic ``segment_sum`` then scatters them back to the global
+    (sorted-space) Gaussian axis.  Invalid compacted slots (id == -1) can
+    match invalid selections (also -1); their contributions are routed to a
+    dump segment and dropped.
+
+    :return: (gauss_grads (B, FEAT, P_pad), ray_grads (nb, R_pad, FEAT))
+    """
+    from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
+
+    nb, M_max, _ = table_c.shape
+    csel, counts = prefix_visit_lists(counts_c, M_max, cand_chunk)
+    planes_c = jnp.swapaxes(table_c, 1, 2)               # (nb, FEAT, M_max)
+    ids_row = jnp.swapaxes(ids_c, 1, 2)                  # (nb, 1, M_max)
+    gg_c, rb = _bwd_unified_call(
+        rays_feat, planes_c, ids_row, csel, counts, sel_b, gl_b, ga_b, gd_b,
+        K=K, ray_chunk=ray_chunk, cand_chunk=cand_chunk, per_bin_cand=True,
+        bh_bw=1, interpret=interpret,
     )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, FEAT, P_pad), jnp.float32),
-            jax.ShapeDtypeStruct((nb, R_pad, FEAT), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(csel, counts, gauss_feat, ids, rays_feat, sel_b, gl_b, ga_b, gd_b)
+    # scatter-back: (nb, FEAT, M_max) -> rows (nb*M_max, FEAT) -> global
+    rows = jnp.swapaxes(gg_c, 1, 2).reshape(nb * M_max, FEAT)
+    iota = jnp.arange(M_max, dtype=jnp.int32)[None]
+    valid = iota < counts_c[:, None]
+    img = jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
+    flat = jnp.where(valid, img * P_pad + pos_c, B * P_pad).reshape(-1)
+    summed = jax.ops.segment_sum(rows, flat, num_segments=B * P_pad + 1)
+    gg = summed[: B * P_pad].reshape(B, P_pad, FEAT)
+    return jnp.swapaxes(gg, 1, 2), rb
 
 
 def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order, G=1):

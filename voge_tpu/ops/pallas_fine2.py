@@ -66,17 +66,16 @@ def chunk_visit_lists(mask: jax.Array, n_c: int, cand_chunk: int):
     return csel, counts
 
 
-def _kernel_t(
+def _kernel_tc(
     csel_ref,   # (nb, n_c) int32 SMEM: chunk visit list (scalar prefetch)
     cnt_ref,    # (nb,) int32 SMEM: occupied chunk count per bin
-    mask_ref,   # (1, C, G) int8 membership (one column per sub-bin)
-    gf_ref,     # (1, C, FEAT) f32 packed Gaussian feature table (batch b_img)
+    bits_ref,   # (1, C, 1) int32 per-sub-bin membership bitfield
+    gf_ref,     # (1, C, FEAT) f32 packed Gaussian feature table
     ids_ref,    # (1, C, 1) int32 global flattened ORIGINAL candidate ids
     rf_ref,     # (1, FEAT, R) f32 ray feature planes (G sub-bins' rays)
     oi_ref, ol_ref, oa_ref, od_ref,   # (1, Kp, R) outputs
     run_len, run_act, run_dsd, run_idx,  # (Kp, R) scratch
-    *, thr_act: float, K: int, chunk: int, bh_bw: int, n_gauss: int,
-    sub_bins: int,
+    *, thr_act: float, K: int, chunk: int, sub_bins: int,
 ):
     """Transposed layout: candidates on SUBLANES, rays on LANES.
 
@@ -85,6 +84,10 @@ def _kernel_t(
     (7-step cross-lane tails) -- the merge was reduction-tail-bound, ~2.3x;
     (b) the three quadratic forms become real MXU matmuls (C, 3) @ (3, R)
     and (C, 9) @ (9, R) instead of ~22 VPU outer-product passes.
+
+    Membership of candidate c in sub-bin g is bit g of ``bits_ref`` --
+    packed so one streamed int32 column serves any sub-bin count (and, in
+    the compacted-candidate path, one gather instead of G).
     """
     c = pl.program_id(2)
     n_c = pl.num_programs(2)
@@ -92,10 +95,9 @@ def _kernel_t(
 
     rf = rf_ref[0]                      # (FEAT, R)
     tab = gf_ref[0]                     # (C, FEAT)
-    m = mask_ref[0]                     # (C, G)
     R = rf.shape[1]
     C = tab.shape[0]
-    G = m.shape[1]
+    G = sub_bins
     R_bin = R // G
     Kp = run_len.shape[0]
 
@@ -111,15 +113,11 @@ def _kernel_t(
     # (same block indices => no DMA) and skipped entirely.
     @pl.when(c < cnt_ref[b])
     def _():
-        # expand per-sub-bin membership columns to per-ray columns (ray lane
-        # j belongs to sub-bin j // R_bin; lane-dim reshapes are unsupported
-        # by Mosaic, so select by lane iota)
+        # membership of ray lane j (sub-bin j // R_bin): bit j//R_bin of the
+        # candidate's bitfield (lane-dim reshapes are unsupported by Mosaic)
+        bits = jnp.broadcast_to(bits_ref[0], (C, R))
         lane_bin = jax.lax.broadcasted_iota(jnp.int32, (C, R), 1) // R_bin
-        mexp = jnp.zeros((C, R), jnp.float32)
-        for g in range(G):
-            mexp = jnp.where(
-                lane_bin == g, m[:, g : g + 1].astype(jnp.float32), mexp
-            )
+        member = jax.lax.shift_right_logical(bits, lane_bin) & 1
         msk = jax.lax.dot_general(
             tab[:, 0:3], rf[0:3, :], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -132,11 +130,11 @@ def _kernel_t(
         )                                                        # (C, R)
         length = msk / ksk
         act = tab[:, 3:4] - msk * msk / ksk
-        ok = (act < thr_act) & (mexp > 0.5)
+        ok = (act < thr_act) & (member > 0)
         lm = jnp.where(ok, length, _INF)
 
         # global flattened ORIGINAL Gaussian ids come from the streamed ids
-        # plane (supports bin-coherent candidate reordering upstream)
+        # plane (supports candidate reordering/compaction upstream)
         gidx = jnp.broadcast_to(ids_ref[0], (C, R))
 
         # merge running state (first: earlier chunks win ties) with chunk
@@ -171,10 +169,15 @@ def _kernel_t(
         k_idx = jnp.where(k_val, jnp.concatenate(new_idx, axis=0), -1)
 
         pad = Kp - K
-        run_len[:] = jnp.concatenate([k_len, jnp.full((pad, R), _INF, jnp.float32)], axis=0)
-        run_act[:] = jnp.concatenate([k_act, jnp.full((pad, R), _INF, jnp.float32)], axis=0)
-        run_dsd[:] = jnp.concatenate([k_dsd, jnp.zeros((pad, R), jnp.float32)], axis=0)
-        run_idx[:] = jnp.concatenate([k_idx, jnp.full((pad, R), -1, jnp.int32)], axis=0)
+        if pad:
+            k_len = jnp.concatenate([k_len, jnp.full((pad, R), _INF, jnp.float32)], axis=0)
+            k_act = jnp.concatenate([k_act, jnp.full((pad, R), _INF, jnp.float32)], axis=0)
+            k_dsd = jnp.concatenate([k_dsd, jnp.zeros((pad, R), jnp.float32)], axis=0)
+            k_idx = jnp.concatenate([k_idx, jnp.full((pad, R), -1, jnp.int32)], axis=0)
+        run_len[:] = k_len
+        run_act[:] = k_act
+        run_dsd[:] = k_dsd
+        run_idx[:] = k_idx
 
     @pl.when(c == n_c - 1)
     def _():
@@ -182,6 +185,149 @@ def _kernel_t(
         ol_ref[0] = run_len[:]
         oa_ref[0] = run_act[:]
         od_ref[0] = run_dsd[:]
+
+
+def fine_select_compact_pallas(
+    rays_t: jax.Array,      # (nb, FEAT, R_pad) f32 transposed ray features
+    table: jax.Array,       # (NB, C_total, FEAT) f32 candidate feature rows
+    bits: jax.Array,        # (NB, C_total, 1) int32 membership bitfields
+    ids_c: jax.Array,       # (NB, C_total, 1) int32 original ids (-1 pad)
+    csel: jax.Array,        # (nb, n_c) int32 chunk visit list
+    counts: jax.Array,      # (nb,) int32 occupied chunk count
+    thr_act: float,
+    K: int,
+    sub_bins: int,
+    ray_chunk: int,
+    cand_chunk: int,
+    per_bin_cand: bool,     # candidate arrays per bin (NB == nb) or per
+                            # image (NB == B, bin b reads row b // bh_bw)
+    bh_bw: int = 1,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Streaming top-K selection over a (possibly per-supertile-compacted)
+    candidate table; returns ray-major (nb, R_pad, K) selections."""
+    nb, _, R_pad = rays_t.shape
+    C_total = table.shape[1]
+    assert R_pad % ray_chunk == 0 and C_total % cand_chunk == 0
+    n_r = R_pad // ray_chunk
+    n_c = C_total // cand_chunk
+    assert csel.shape == (nb, n_c)
+
+    # the membership bits are always per bin; the feature table / ids are
+    # per bin when compacted, per image otherwise
+    bmap = lambda b, r, c, cs, ct: (b, cs[b, c], 0)
+    if per_bin_cand:
+        cmap = bmap
+    else:
+        cmap = lambda b, r, c, cs, ct, _bw=int(bh_bw): (b // _bw, cs[b, c], 0)
+
+    Kp = max(8, -(-K // 8) * 8)
+    kernel = functools.partial(
+        _kernel_tc, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
+        sub_bins=int(sub_bins),
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.int32),
+        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
+        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
+        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
+    ]
+    out_spec = pl.BlockSpec(
+        (1, Kp, ray_chunk), lambda b, r, c, cs, ct: (b, 0, r),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, n_r, n_c),
+        in_specs=[
+            pl.BlockSpec((1, cand_chunk, 1), bmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cand_chunk, FEAT), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cand_chunk, 1), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, FEAT, ray_chunk),
+                         lambda b, r, c, cs, ct: (b, 0, r),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
+            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
+            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
+            pltpu.VMEM((Kp, ray_chunk), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(csel, counts, bits, table, ids_c, rays_t)
+    # back to ray-major (nb, R_pad, K) for downstream consumers
+    return tuple(jnp.swapaxes(x, 1, 2)[:, :, :K] for x in out)
+
+
+def pack_membership_bits(mask: jax.Array) -> jax.Array:
+    """(nb, G, P_pad) int8 membership -> (nb, P_pad) int32 bitfields."""
+    G = mask.shape[1]
+    m = mask.astype(jnp.int32)
+    return sum(m[:, g, :] << g for g in range(G))
+
+
+def compact_candidates(
+    mask: jax.Array,        # (nb, G, P_pad) int8 membership
+    gauss_feat: jax.Array,  # (B, FEAT, P_pad) f32 feature planes
+    ids: jax.Array,         # (B, 1, P_pad) int32 original ids
+    M_max: int,             # static per-bin candidate capacity
+    bh_bw: int,             # bins per image (bin b -> image b // bh_bw)
+):
+    """Per-bin candidate compaction: gather each bin's members (ascending
+    position, preserving the insertion-order tie-break) into fixed-capacity
+    rows.  Members beyond ``M_max`` are deterministically dropped (the
+    reference truncates at max_points_per_bin the same way,
+    rasterize_coarse.cu:153-170); the drop count is returned.
+
+    :return: (table_c (nb, M_max, FEAT), bits_c (nb, M_max, 1),
+        ids_c (nb, M_max, 1), pos (nb, M_max) source positions,
+        counts (nb,) member counts clamped to M_max,
+        overflow (nb,) dropped members per bin)
+    """
+    nb, G, P_pad = mask.shape
+    B = gauss_feat.shape[0]
+    bits = pack_membership_bits(mask)                      # (nb, P_pad)
+    member = bits > 0
+    n_members = member.sum(axis=1).astype(jnp.int32)
+    counts = jnp.minimum(n_members, M_max)
+    overflow = n_members - counts
+    # member positions first (ascending; argsort of ~member is stable)
+    pos = jnp.argsort(~member, axis=1, stable=True)[:, :M_max].astype(jnp.int32)
+    iota = jnp.arange(M_max, dtype=jnp.int32)[None]
+    valid = iota < counts[:, None]
+    bits_c = jnp.where(valid, jnp.take_along_axis(bits, pos, axis=1), 0)
+    ids_img = jnp.broadcast_to(
+        ids[:, 0, :][:, None, :], (B, nb // B, P_pad)
+    ).reshape(nb, P_pad)
+    ids_c = jnp.where(valid, jnp.take_along_axis(ids_img, pos, axis=1), -1)
+    # feature rows: one flat row-gather from the packed per-image table
+    table = jnp.swapaxes(gauss_feat, 1, 2).reshape(B * P_pad, FEAT)
+    img_of_bin = (
+        jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
+    )                                                      # (nb, 1)
+    flat = (img_of_bin * P_pad + pos).reshape(-1)
+    table_c = table[flat].reshape(nb, M_max, FEAT)
+    return table_c, bits_c[:, :, None], ids_c[:, :, None], pos, counts, overflow
+
+
+def prefix_visit_lists(counts: jax.Array, M_max: int, cand_chunk: int):
+    """Visit lists for a compacted candidate space: occupied chunks are the
+    prefix [0, ceil(count / cand_chunk))."""
+    n_c = M_max // cand_chunk
+    cnt_c = -(-counts // cand_chunk)                       # ceil div
+    iota = jnp.arange(n_c, dtype=jnp.int32)[None]
+    last = jnp.maximum(cnt_c - 1, 0)
+    csel = jnp.minimum(iota, last[:, None]).astype(jnp.int32)
+    return csel, cnt_c.astype(jnp.int32)
 
 
 def fine_select_mask_pallas(
@@ -204,73 +350,15 @@ def fine_select_mask_pallas(
     G = mask.shape[1]
     assert G == 1 or ray_chunk == R_pad, "sub-binned tiles need full-tile ray chunks"
     assert R_pad % ray_chunk == 0 and P_pad % cand_chunk == 0
-    n_r = R_pad // ray_chunk
     n_c = P_pad // cand_chunk
 
     csel, counts = chunk_visit_lists(mask, n_c, cand_chunk)
-
-    # transpose to candidate-major layout (candidates on sublanes)
-    mask_t = jnp.swapaxes(mask, 1, 2)           # (nb, P_pad, G)
-    table = jnp.swapaxes(gauss_feat, 1, 2)      # (B, P_pad, FEAT)
-    ids_t = jnp.swapaxes(ids, 1, 2)             # (B, P_pad, 1)
-    rays_t = jnp.swapaxes(rays_feat, 1, 2)      # (nb, FEAT, R_pad)
-
-    Kp = max(8, -(-K // 8) * 8)
-    grid = (nb, n_r, n_c)
-    kernel = functools.partial(
-        _kernel_t, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
-        bh_bw=int(bh_bw), n_gauss=int(n_gauss), sub_bins=int(G),
+    bits = pack_membership_bits(mask)[:, :, None]   # (nb, P_pad, 1)
+    table = jnp.swapaxes(gauss_feat, 1, 2)          # (B, P_pad, FEAT)
+    ids_t = jnp.swapaxes(ids, 1, 2)                 # (B, P_pad, 1)
+    rays_t = jnp.swapaxes(rays_feat, 1, 2)          # (nb, FEAT, R_pad)
+    return fine_select_compact_pallas(
+        rays_t, table, bits, ids_t, csel, counts, thr_act, K,
+        sub_bins=G, ray_chunk=ray_chunk, cand_chunk=cand_chunk,
+        per_bin_cand=False, bh_bw=bh_bw, interpret=interpret,
     )
-    out_shapes = [
-        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.int32),
-        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
-        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
-        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
-    ]
-    out_spec = pl.BlockSpec(
-        (1, Kp, ray_chunk), lambda b, r, c, csel, cnt: (b, 0, r),
-        memory_space=pltpu.VMEM,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, cand_chunk, G),
-                         lambda b, r, c, csel, cnt: (b, csel[b, c], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cand_chunk, FEAT),
-                         lambda b, r, c, csel, cnt, _bw=int(bh_bw):
-                             (b // _bw, csel[b, c], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cand_chunk, 1),
-                         lambda b, r, c, csel, cnt, _bw=int(bh_bw):
-                             (b // _bw, csel[b, c], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, FEAT, ray_chunk),
-                         lambda b, r, c, csel, cnt: (b, 0, r),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_spec] * 4,
-        scratch_shapes=[
-            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
-            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
-            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
-            pltpu.VMEM((Kp, ray_chunk), jnp.int32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=nb * R_pad * P_pad * (15 + 6 * K),
-            bytes_accessed=nb * P_pad * (17 * 4) // max(n_r, 1) + nb * R_pad * FEAT * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(csel, counts, mask_t, table, ids_t, rays_t)
-    # back to ray-major (nb, R_pad, K) for downstream consumers
-    return tuple(jnp.swapaxes(x, 1, 2)[:, :, :K] for x in out)

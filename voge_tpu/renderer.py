@@ -231,7 +231,7 @@ def render_pipeline(
     from voge_tpu.ops.fine import unbin_kern
 
     geom = ctx["geom"]
-    B_, H_, W_, BH, BW, bsh, bsw, grouped, bh_bw, cand_chunk, P_, P_pad = geom
+    B_, H_, W_, BH, BW, bsh, bsw, grouped, bh_bw, m_max, P_, P_pad = geom
     ub = lambda x: unbin_kern(x, B_, BH, BW, H_, W_, bsh, bsw, grouped)
     vert_index = ub(sel_idx)
     return Fragments(
@@ -239,8 +239,8 @@ def render_pipeline(
         vert_index=vert_index,
         valid_num=jnp.sum(vert_index >= 0, axis=-1),
         vert_hit_length=ub(sel_len),
-        attr_ctx=(sel_idx, vert_weight, ctx["mask_k"], ctx["ids_p"],
-                  ctx["perm"]),
+        attr_ctx=(sel_idx, vert_weight, ctx["ids_c"], ctx["pos_c"],
+                  ctx["counts_c"], ctx["perm"]),
         attr_geom=geom,
     )
 
@@ -330,12 +330,13 @@ def interpolate_attr(fragments: Fragments, vert_attr: jax.Array) -> jax.Array:
 
 def _interpolate_attr_fused(fragments: Fragments, vert_attr: jax.Array):
     """Fused Pallas path: attribute planes in candidate order are contracted
-    against the kernel-layout selections (voge_tpu/ops/pallas_attr.py)."""
+    against the kernel-layout selections over the compacted candidate space
+    (voge_tpu/ops/pallas_attr.py)."""
     from voge_tpu.ops.fine import unbin_kern
-    from voge_tpu.ops.pallas_attr import attr_merge_binned
+    from voge_tpu.ops.pallas_attr import attr_merge_compact
 
-    sel_k, w_k, mask_k, ids_p, perm = fragments.attr_ctx
-    B, H, W, BH, BW, bsh, bsw, grouped, bh_bw, cand_chunk, P, P_pad = (
+    sel_k, w_k, ids_c, pos_c, counts_c, perm = fragments.attr_ctx
+    B, H, W, BH, BW, bsh, bsw, grouped, bh_bw, m_max, P, P_pad = (
         fragments.attr_geom
     )
     d = vert_attr.shape[-1]
@@ -346,13 +347,13 @@ def _interpolate_attr_fused(fragments: Fragments, vert_attr: jax.Array):
         attr = attr.reshape(B, P, d)
     if perm is not None:
         attr = jnp.take_along_axis(attr, perm[:, :, None], axis=1)
-    # planes layout (B, Ca_pad, P_pad)
+    # planes layout (B, Ca_pad, P_pad), sorted candidate order
     Ca = -(-d // 8) * 8
     planes = jnp.swapaxes(attr, 1, 2)
     planes = jnp.pad(planes, ((0, 0), (0, Ca - d), (0, P_pad - P)))
     w_eff = jnp.where(sel_k >= 0, w_k, 0.0)
-    img_k = attr_merge_binned(
-        planes, w_eff, sel_k, mask_k, ids_p, bh_bw, cand_chunk, False
+    img_k = attr_merge_compact(
+        planes, w_eff, sel_k, ids_c, pos_c, counts_c, B, False
     )
     img = unbin_kern(img_k, B, BH, BW, H, W, bsh, bsw, grouped)
     return img[..., :d]
