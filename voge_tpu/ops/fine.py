@@ -424,7 +424,12 @@ def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size):
         cand_chunk=cand_chunk, B=B, H=H, W=W, P=P, BH=BH, BW=BW,
         bsh=bsh, bsw=bsw, R=R, R_pad=R_pad,
     )
-    if use_pallas:
+    M_max = _pick_m_max(P_pad, bh_bw, cand_chunk)
+    # For small scenes the capacity approaches P_pad and the compaction
+    # (argsort + gathers + scatter-back) costs more than it saves; stream
+    # the global candidate space instead.
+    prep["compact"] = use_pallas and 2 * M_max < P_pad
+    if prep["compact"]:
         # Per-supertile candidate compaction for the select kernel: the
         # membership of a supertile is Morton-clustered plus scattered
         # neighbor spill; compaction removes the ~4-8x lane inflation from
@@ -433,12 +438,12 @@ def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size):
         # max_points_per_bin the same way) with the count reported.
         from voge_tpu.ops.pallas_fine2 import compact_candidates
 
-        M_max = _pick_m_max(P_pad, bh_bw, cand_chunk)
         (prep["table_c"], prep["bits_c"], prep["ids_c"], prep["pos_c"],
          prep["counts_c"], prep["overflow_c"]) = compact_candidates(
             mask_k, gauss_feat, ids_p, M_max, bh_bw,
         )
         prep["m_max"] = M_max
+    if use_pallas:
         prep["rays_t"] = jnp.swapaxes(rf_k, 1, 2)
     return prep
 
@@ -492,7 +497,7 @@ def _mask_path_select_kern(prep, thr_act, K):
     )
 
     p = prep
-    if p["use_pallas"]:
+    if p.get("compact"):
         csel, counts = prefix_visit_lists(
             p["counts_c"], p["m_max"], p["cand_chunk"]
         )
@@ -501,6 +506,14 @@ def _mask_path_select_kern(prep, thr_act, K):
             p["rays_t"], p["table_c"], p["bits_c"], p["ids_c"], csel, counts,
             thr_act, K, sub_bins=G, ray_chunk=p["rc"],
             cand_chunk=p["cand_chunk"], per_bin_cand=True,
+        )
+    if p["use_pallas"]:
+        from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
+
+        return fine_select_mask_pallas(
+            p["rf_k"], p["gauss_feat"], p["mask_k"], p["ids_p"], thr_act, K,
+            bh_bw=p["bh_bw"], n_gauss=p["P"], ray_chunk=p["rc"],
+            cand_chunk=p["cand_chunk"],
         )
     return _xla_select_mask(
         p["rf_k"], p["gauss_feat"], p["mask_k"][:, 0, :], p["ids_p"],
@@ -533,7 +546,7 @@ def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
     sel = _mask_path_select_kern(prep, thr_act, K)
     aux = (
         (prep["ids_c"], prep["pos_c"], prep["counts_c"])
-        if prep["use_pallas"] else None
+        if prep.get("compact") else None
     )
     return sel, aux
 
@@ -543,15 +556,19 @@ def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
     out = _mask_path_select_kern(prep, thr_act, K)
     aux = (
         (prep["ids_c"], prep["pos_c"], prep["counts_c"])
-        if prep["use_pallas"] else None
+        if prep.get("compact") else None
     )
     # Save the kernel-ready tensors: rebuilding the grouped ray features /
     # compacted candidate table costs ms of pure layout work at 256^2.
-    saved = (
-        (prep["rf_k"], prep["table_c"], prep["ids_c"], prep["pos_c"],
-         prep["counts_c"])
-        if prep["use_pallas"] else None
-    )
+    # mode is distinguished by arity (strings are not valid residual leaves)
+    if prep.get("compact"):
+        saved = (prep["rf_k"], prep["table_c"], prep["ids_c"],
+                 prep["pos_c"], prep["counts_c"])
+    elif prep["use_pallas"]:
+        saved = (prep["rf_k"], prep["mask_k"], prep["ids_p"],
+                 prep["gauss_feat"])
+    else:
+        saved = None
     return (out, aux), (mus, isigmas, rays, out[0], mask, ids, saved)
 
 
@@ -639,26 +656,43 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, res, g):
     grouped = _is_grouped(BH, BW)
 
     if jax.default_backend() == "tpu" and saved is not None:
-        from voge_tpu.ops.pallas_bwd import fine_bwd_compact_pallas
+        from voge_tpu.ops.pallas_bwd import (
+            fine_bwd_compact_pallas,
+            fine_bwd_unified_pallas,
+        )
 
         # cotangents arrive in kernel layout — no re-binning needed
         _, g_len_k, g_act_k, g_dsd_k = g
-        rays_feat, table_c, ids_c, pos_c, counts_c = saved
         R_pad = _ceil_to(bsh * bsw, 8)
         args = (sel_idx_k, g_len_k, g_act_k, g_dsd_k)
+        rays_feat = saved[0]
         if grouped:
             rc = rays_feat.shape[1]
         else:
             rc = _pick_rc(R_pad)
-        M_max = table_c.shape[1]
-        cc_opts = [c for c in (1024, 512, 256, 128) if M_max % c == 0]
-        cc = max(cc_opts) if cc_opts else M_max
-        cc_align = max(_pick_cand_chunk(P), _pick_cand_chunk_bwd(P))
-        P_pad = _ceil_to(max(P, cc_align), cc_align)
-        gg, rb = fine_bwd_compact_pallas(
-            rays_feat, table_c, ids_c, pos_c, counts_c, *args,
-            K=K, B=B, P_pad=P_pad, ray_chunk=rc, cand_chunk=cc,
-        )
+        if len(saved) == 5:
+            rays_feat, table_c, ids_c, pos_c, counts_c = saved
+            M_max = table_c.shape[1]
+            cc_opts = [c for c in (1024, 512, 256, 128) if M_max % c == 0]
+            cc = max(cc_opts) if cc_opts else M_max
+            cc_align = max(_pick_cand_chunk(P), _pick_cand_chunk_bwd(P))
+            P_pad = _ceil_to(max(P, cc_align), cc_align)
+            gg, rb = fine_bwd_compact_pallas(
+                rays_feat, table_c, ids_c, pos_c, counts_c, *args,
+                K=K, B=B, P_pad=P_pad, ray_chunk=rc, cand_chunk=cc,
+            )
+        else:
+            rays_feat, mask_k, ids_p, gauss_feat = saved
+            if grouped:
+                BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
+                bh_bw = BH2 * BW2
+            else:
+                bh_bw = BH * BW
+            gg, rb = fine_bwd_unified_pallas(
+                rays_feat, gauss_feat, mask_k, ids_p, *args,
+                thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
+                ray_chunk=rc, cand_chunk=_pick_cand_chunk_bwd(P),
+            )
         grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
         grad_isg = jnp.stack(
             [gg[:, 3 + q, :P] for q in range(9)], axis=-1
@@ -815,24 +849,38 @@ def ray_tracing(
         points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
         int(n_assign),
     )
-    if aux is None:
-        return (sel_k, None) if return_ctx else sel_k
     _, BH, BW, _ = mask.shape
     bsh, bsw = eff_bin
     grouped = _is_grouped(BH, BW)
     cc_align = max(_pick_cand_chunk(P), _pick_cand_chunk_bwd(P))
     P_pad = _ceil_to(max(P, cc_align), cc_align)
-    ids_c, pos_c, counts_c = aux
     if grouped:
         BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
         bh_bw = BH2 * BW2
     else:
         bh_bw = BH * BW
+    if aux is not None:
+        ids_c, pos_c, counts_c = aux
+        ctx = dict(
+            ids_c=ids_c, pos_c=pos_c, counts_c=counts_c,
+            perm=perm,
+            geom=(B, H, W, BH, BW, bsh, bsw, grouped, bh_bw,
+                  pos_c.shape[1], P, P_pad, "c"),
+        )
+        return sel_k, ctx
+    # global-space attribute context (small scenes: compaction skipped)
+    mask_flat = mask.reshape(B * BH * BW, P).astype(jnp.int8)
+    if P_pad > P:
+        mask_flat = jnp.pad(mask_flat, ((0, 0), (0, P_pad - P)))
+    if grouped:
+        mask_k, _, _ = _group_supertiles(mask_flat[:, None, :], B, BH, BW)
+    else:
+        mask_k = mask_flat[:, None, :]
     ctx = dict(
-        ids_c=ids_c, pos_c=pos_c, counts_c=counts_c,
+        mask_k=mask_k, ids_p=_prep_ids(ids, P, P_pad),
         perm=perm,
         geom=(B, H, W, BH, BW, bsh, bsw, grouped, bh_bw,
-              pos_c.shape[1], P, P_pad),
+              _pick_cand_chunk_bwd(P), P, P_pad, "g"),
     )
     return sel_k, ctx
 

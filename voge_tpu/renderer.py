@@ -231,16 +231,22 @@ def render_pipeline(
     from voge_tpu.ops.fine import unbin_kern
 
     geom = ctx["geom"]
-    B_, H_, W_, BH, BW, bsh, bsw, grouped, bh_bw, m_max, P_, P_pad = geom
+    B_, H_, W_, BH, BW, bsh, bsw, grouped = geom[:8]
+    mode = geom[12]
     ub = lambda x: unbin_kern(x, B_, BH, BW, H_, W_, bsh, bsw, grouped)
     vert_index = ub(sel_idx)
+    if mode == "c":
+        attr_ctx = (sel_idx, vert_weight, ctx["ids_c"], ctx["pos_c"],
+                    ctx["counts_c"], ctx["perm"])
+    else:
+        attr_ctx = (sel_idx, vert_weight, ctx["mask_k"], ctx["ids_p"],
+                    ctx["perm"])
     return Fragments(
         vert_weight=ub(vert_weight),
         vert_index=vert_index,
         valid_num=jnp.sum(vert_index >= 0, axis=-1),
         vert_hit_length=ub(sel_len),
-        attr_ctx=(sel_idx, vert_weight, ctx["ids_c"], ctx["pos_c"],
-                  ctx["counts_c"], ctx["perm"]),
+        attr_ctx=attr_ctx,
         attr_geom=geom,
     )
 
@@ -333,11 +339,11 @@ def _interpolate_attr_fused(fragments: Fragments, vert_attr: jax.Array):
     against the kernel-layout selections over the compacted candidate space
     (voge_tpu/ops/pallas_attr.py)."""
     from voge_tpu.ops.fine import unbin_kern
-    from voge_tpu.ops.pallas_attr import attr_merge_compact
+    from voge_tpu.ops.pallas_attr import attr_merge_binned, attr_merge_compact
 
-    sel_k, w_k, ids_c, pos_c, counts_c, perm = fragments.attr_ctx
-    B, H, W, BH, BW, bsh, bsw, grouped, bh_bw, m_max, P, P_pad = (
-        fragments.attr_geom
+    geom = fragments.attr_geom
+    B, H, W, BH, BW, bsh, bsw, grouped, bh_bw, chunk_or_mmax, P, P_pad, mode = (
+        geom
     )
     d = vert_attr.shape[-1]
     attr = vert_attr.astype(jnp.float32)
@@ -345,16 +351,25 @@ def _interpolate_attr_fused(fragments: Fragments, vert_attr: jax.Array):
         attr = jnp.broadcast_to(attr[None], (B, P, d))
     else:
         attr = attr.reshape(B, P, d)
+    perm = fragments.attr_ctx[-1]
     if perm is not None:
         attr = jnp.take_along_axis(attr, perm[:, :, None], axis=1)
     # planes layout (B, Ca_pad, P_pad), sorted candidate order
     Ca = -(-d // 8) * 8
     planes = jnp.swapaxes(attr, 1, 2)
     planes = jnp.pad(planes, ((0, 0), (0, Ca - d), (0, P_pad - P)))
-    w_eff = jnp.where(sel_k >= 0, w_k, 0.0)
-    img_k = attr_merge_compact(
-        planes, w_eff, sel_k, ids_c, pos_c, counts_c, B, False
-    )
+    if mode == "c":
+        sel_k, w_k, ids_c, pos_c, counts_c, _ = fragments.attr_ctx
+        w_eff = jnp.where(sel_k >= 0, w_k, 0.0)
+        img_k = attr_merge_compact(
+            planes, w_eff, sel_k, ids_c, pos_c, counts_c, B, False
+        )
+    else:
+        sel_k, w_k, mask_k, ids_p, _ = fragments.attr_ctx
+        w_eff = jnp.where(sel_k >= 0, w_k, 0.0)
+        img_k = attr_merge_binned(
+            planes, w_eff, sel_k, mask_k, ids_p, bh_bw, chunk_or_mmax, False
+        )
     img = unbin_kern(img_k, B, BH, BW, H, W, bsh, bsw, grouped)
     return img[..., :d]
 
