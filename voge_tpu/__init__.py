@@ -46,6 +46,7 @@ from voge_tpu.renderer import (
     GaussianRenderer,
     GaussianRenderSettings,
     interpolate_attr,
+    get_overflow_points,
     get_silhouette,
     to_colored_background,
     to_white_background,

@@ -20,7 +20,7 @@ def _grid_samples(x_range, y_range, z_range, number_vertices):
         z_range[1] - z_range[0],
     )
     total_area = (w * h + h * d + w * d) * 2
-    # On average, every vertex attaches 6 edges; each triangle has 3 edges
+    # two triangles' worth of surface area per sampled vertex
     mesh_size = total_area / (number_vertices * 2)
     edge_length = (mesh_size * 2) ** 0.5
     x_samples = x_range[0] + np.linspace(0, w, int(w / edge_length + 1))

@@ -44,7 +44,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from voge_tpu.ops.coarse import coarse_bin_config, rasterize_coarse
-from voge_tpu.ops.pallas_fine import FEAT, fine_select_pallas, pick_ray_chunk
+from voge_tpu.ops.pallas_fine import (
+    FEAT,
+    UNIFIED_BWD_MAX_PPAD,
+    fine_select_pallas,
+    pick_ray_chunk,
+)
 
 _P = jax.lax.Precision.HIGHEST
 _SENTINEL_LEN = 1e10
@@ -54,10 +59,9 @@ _SENTINEL_ACT = 1e10
 # budget); beyond this the XLA fallback runs.
 _PALLAS_MAX_M = 16384
 
-# Above this padded Gaussian count the unified backward's full-width
-# per-Gaussian output block (FEAT x P_pad f32) would strain VMEM; fall back
-# to the two-kernel backward (block-revisit accumulation at chunk width).
-_UNIFIED_BWD_MAX_PPAD = 262144
+# Backward-compatible alias; the constant lives in pallas_fine (shared with
+# pallas_attr so the two dispatch thresholds cannot drift apart).
+_UNIFIED_BWD_MAX_PPAD = UNIFIED_BWD_MAX_PPAD
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -382,7 +386,7 @@ def _fine_forward_mask(
     return _mask_path_select(prep, thr_act, K)[0]
 
 
-def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size):
+def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min=0):
     """Build the kernel-ready tensors (gauss feature planes, grouped
     membership mask, ids plane, grouped ray features) plus the static
     geometry.  Shared by forward and backward so the backward can reuse the
@@ -424,7 +428,7 @@ def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size):
         cand_chunk=cand_chunk, B=B, H=H, W=W, P=P, BH=BH, BW=BW,
         bsh=bsh, bsw=bsw, R=R, R_pad=R_pad,
     )
-    M_max = _pick_m_max(P_pad, bh_bw, cand_chunk)
+    M_max = _pick_m_max(P_pad, bh_bw, cand_chunk, m_min)
     # For small scenes the capacity approaches P_pad and the compaction
     # (argsort + gathers + scatter-back) costs more than it saves; stream
     # the global candidate space instead.
@@ -448,11 +452,16 @@ def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size):
     return prep
 
 
-def _pick_m_max(P_pad: int, bins_per_image: int, cand_chunk: int) -> int:
+def _pick_m_max(
+    P_pad: int, bins_per_image: int, cand_chunk: int, m_min: int = 0
+) -> int:
     """Static per-supertile candidate capacity: ~8x the mean Gaussians per
     supertile (measured max occupancy is ~4x the mean at the benchmark
-    workloads), at least 512, at most all of them."""
-    target = max(512, 8 * P_pad // max(bins_per_image, 1))
+    workloads), at least 512, at most all of them.  A user-supplied
+    ``max_point_per_bin`` acts as a lower bound (``m_min``) — the escape
+    hatch for skewed scenes whose densest supertile exceeds the heuristic
+    (the dropped-member count is surfaced either way)."""
+    target = max(512, 8 * P_pad // max(bins_per_image, 1), int(m_min))
     return min(P_pad, _ceil_to(target, cand_chunk))
 
 
@@ -532,30 +541,33 @@ def _is_grouped(BH, BW):
     return jax.default_backend() == "tpu" and BH * BW > 1
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
+                  m_min=0):
     """Fine selection with the custom-VJP boundary at KERNEL layout: callers
     (renderer) run aggregation in this layout and unbin once for Fragments,
     so backward cotangents arrive without any re-binning shuffles.
 
     :return: (sel4, aux) — aux is the compacted candidate context
-        (ids_c, pos_c, counts_c) on the Pallas path (consumed by the fused
-        attribute kernels), else None.
+        (ids_c, pos_c, counts_c, overflow_c) on the Pallas path (consumed by
+        the fused attribute kernels; overflow_c is the per-supertile dropped
+        member count), else None.
     """
-    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size)
+    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min)
     sel = _mask_path_select_kern(prep, thr_act, K)
     aux = (
-        (prep["ids_c"], prep["pos_c"], prep["counts_c"])
+        (prep["ids_c"], prep["pos_c"], prep["counts_c"], prep["overflow_c"])
         if prep.get("compact") else None
     )
     return sel, aux
 
 
-def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
-    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size)
+def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
+                      m_min=0):
+    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min)
     out = _mask_path_select_kern(prep, thr_act, K)
     aux = (
-        (prep["ids_c"], prep["pos_c"], prep["counts_c"])
+        (prep["ids_c"], prep["pos_c"], prep["counts_c"], prep["overflow_c"])
         if prep.get("compact") else None
     )
     # Save the kernel-ready tensors: rebuilding the grouped ray features /
@@ -575,7 +587,7 @@ def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
 def _ray_trace_fine_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
     """Image-layout interface over :func:`_rt_fine_kern` (legacy/tests)."""
     sel_k, _aux = _rt_fine_kern(
-        mus, isigmas, rays, mask, ids, thr_act, bin_size, K
+        mus, isigmas, rays, mask, ids, thr_act, bin_size, K, 0
     )
     B, H, W, _ = rays.shape
     _, BH, BW, _ = mask.shape
@@ -644,7 +656,7 @@ def _pick_rc(R_pad: int) -> int:
     return 8
 
 
-def _rt_fine_kern_bwd(thr_act, bin_size, K, res, g):
+def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, res, g):
     mus, isigmas, rays, sel_idx_k, mask, ids, saved = res
     g = g[0]  # aux outputs are integer-valued (float0 cotangents)
     B, P = mus.shape[0], mus.shape[1]
@@ -688,11 +700,28 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, res, g):
                 bh_bw = BH2 * BW2
             else:
                 bh_bw = BH * BW
-            gg, rb = fine_bwd_unified_pallas(
-                rays_feat, gauss_feat, mask_k, ids_p, *args,
+            kw = dict(
                 thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
                 ray_chunk=rc, cand_chunk=_pick_cand_chunk_bwd(P),
             )
+            if gauss_feat.shape[2] <= _UNIFIED_BWD_MAX_PPAD:
+                gg, rb = fine_bwd_unified_pallas(
+                    rays_feat, gauss_feat, mask_k, ids_p, *args, **kw
+                )
+            else:
+                # the unified kernel's full-width (FEAT, P_pad) VMEM output
+                # block would blow the VMEM budget; run the two-kernel pair
+                from voge_tpu.ops.pallas_bwd import (
+                    fine_bwd_gauss_pallas,
+                    fine_bwd_rays_pallas,
+                )
+
+                gg = fine_bwd_gauss_pallas(
+                    rays_feat, gauss_feat, mask_k, ids_p, *args, **kw
+                )
+                rb = fine_bwd_rays_pallas(
+                    rays_feat, gauss_feat, mask_k, ids_p, *args, **kw
+                )
         grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
         grad_isg = jnp.stack(
             [gg[:, 3 + q, :P] for q in range(9)], axis=-1
@@ -809,16 +838,21 @@ def ray_tracing(
     elif jax.default_backend() != "tpu":
         # CPU/fallback with culling: the compacted-list gather path bounds
         # the dense hit tensors at (bins, R, max_points_per_bin) instead of
-        # (bins, R, P).  (Reference truncation semantics apply on overflow.)
-        bin_points = rasterize_coarse(
+        # (bins, R, P).  (Reference truncation semantics apply on overflow;
+        # unlike the reference's device printf the dropped-candidate count
+        # is surfaced through the ctx.)
+        bin_points, counts = rasterize_coarse(
             R, T, focal, principal, points, isigmas, (H, W), thr,
-            bin_size_cfg, mppb, **kwargs,
+            bin_size_cfg, mppb, return_counts=True, **kwargs,
         )
         sel = ray_tracing_fine(
             points.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays,
             bin_points, thr, (bin_size_cfg, bin_size_cfg), n_assign,
         )
-        return (sel, None) if return_ctx else sel
+        if not return_ctx:
+            return sel
+        overflow = jnp.maximum(counts - mppb, 0).astype(jnp.int32)
+        return sel, dict(overflow=overflow)
     else:
         from voge_tpu.ops.coarse import overlap_mask
 
@@ -845,9 +879,12 @@ def ray_tracing(
 
     # ctx path: KERNEL-layout selections + the compacted candidate context
     # the fused attribute compositing kernels need (pallas_attr.py)
+    m_min = int(max_points_per_bin) if (
+        max_points_per_bin is not None and max_points_per_bin > 0
+    ) else 0
     sel_k, aux = _rt_fine_kern(
         points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
-        int(n_assign),
+        int(n_assign), m_min,
     )
     _, BH, BW, _ = mask.shape
     bsh, bsw = eff_bin
@@ -860,9 +897,10 @@ def ray_tracing(
     else:
         bh_bw = BH * BW
     if aux is not None:
-        ids_c, pos_c, counts_c = aux
+        ids_c, pos_c, counts_c, overflow_c = aux
         ctx = dict(
             ids_c=ids_c, pos_c=pos_c, counts_c=counts_c,
+            overflow=overflow_c,
             perm=perm,
             geom=(B, H, W, BH, BW, bsh, bsw, grouped, bh_bw,
                   pos_c.shape[1], P, P_pad, "c"),
@@ -878,6 +916,8 @@ def ray_tracing(
         mask_k = mask_flat[:, None, :]
     ctx = dict(
         mask_k=mask_k, ids_p=_prep_ids(ids, P, P_pad),
+        # global-space streaming truncates nothing: exact culling
+        overflow=jnp.zeros((1,), jnp.int32),
         perm=perm,
         geom=(B, H, W, BH, BW, bsh, bsw, grouped, bh_bw,
               _pick_cand_chunk_bwd(P), P, P_pad, "g"),

@@ -487,9 +487,11 @@ def _attr_merge_fwd(attr_planes, w_b, sel_b, mask_k, ids_p,
 
 
 def _attr_merge_bwd(bh_bw, cand_chunk, interpret, res, g):
+    from voge_tpu.ops.pallas_fine import UNIFIED_BWD_MAX_PPAD
+
     attr_planes, w_b, sel_b, mask_k, ids_p = res
     K = w_b.shape[2]
-    if attr_planes.shape[2] <= 262144:
+    if attr_planes.shape[2] <= UNIFIED_BWD_MAX_PPAD:
         d_attr, d_w = attr_merge_bwd_unified_pallas(
             attr_planes, w_b, sel_b, mask_k, ids_p, g, bh_bw, cand_chunk,
             interpret,

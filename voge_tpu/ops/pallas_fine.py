@@ -41,6 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 FEAT = 16
 _SENTINEL = 1e10
 
+# Largest padded candidate/Gaussian count for which the unified backward
+# kernels (fine_bwd_unified_pallas, attr_merge_bwd_unified_pallas) may hold
+# a full-width (FEAT x P_pad f32) per-Gaussian output block VMEM-resident;
+# beyond it the two-kernel pair (block-revisit accumulation at chunk width)
+# is used instead.  Shared by ops/fine.py and ops/pallas_attr.py.
+UNIFIED_BWD_MAX_PPAD = 262144
+
 
 def _kernel(rf_ref, cf_ref, ci_ref, oi_ref, ol_ref, oa_ref, od_ref, *,
             thr_act: float, K: int):

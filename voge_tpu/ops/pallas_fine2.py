@@ -209,6 +209,11 @@ def fine_select_compact_pallas(
     nb, _, R_pad = rays_t.shape
     C_total = table.shape[1]
     assert R_pad % ray_chunk == 0 and C_total % cand_chunk == 0
+    # _kernel_tc derives each ray's sub-bin from its lane index within the
+    # current ray chunk; partial-tile chunks would misattribute membership
+    assert sub_bins == 1 or ray_chunk == R_pad, (
+        "sub-binned tiles need full-tile ray chunks"
+    )
     n_r = R_pad // ray_chunk
     n_c = C_total // cand_chunk
     assert csel.shape == (nb, n_c)

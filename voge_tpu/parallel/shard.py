@@ -201,13 +201,28 @@ class DataParallelBatchifier:
 
         def sharded_fn(*args, **kwargs):
             n_dev = mesh.devices.size
+            orig_len = None
             for k in batch_args:
                 x = kwargs[k]
-                # shard the leading (raveled) axis; pad to device multiple
+                # shard the leading (raveled) axis, padding it up to a device
+                # multiple first (edge mode: replicated rows stay valid
+                # inputs); outputs are cropped back below.
+                orig_len = x.shape[0]
+                if orig_len % n_dev:
+                    pad = [(0, 0)] * x.ndim
+                    pad[0] = (0, n_dev - orig_len % n_dev)
+                    x = jnp.pad(x, pad, mode="edge")
                 spec = P(*([axis] + [None] * (x.ndim - 1)))
-                if x.shape[0] % n_dev == 0:
-                    kwargs[k] = jax.device_put(x, NamedSharding(mesh, spec))
-            return func(*args, **kwargs)
+                kwargs[k] = jax.device_put(x, NamedSharding(mesh, spec))
+            out = func(*args, **kwargs)
+            if orig_len is not None and orig_len % n_dev:
+                crop = lambda y: (
+                    y[:orig_len]
+                    if hasattr(y, "ndim") and y.ndim > 0
+                    and y.shape[0] > orig_len else y
+                )
+                out = jax.tree_util.tree_map(crop, out)
+            return out
 
         return self._batchify(
             sharded_fn, self.batch_size, self.batch_args,

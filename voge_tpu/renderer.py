@@ -37,15 +37,24 @@ class Fragments:
     :func:`interpolate_attr` run as fused Pallas kernels instead of an XLA
     gather/scatter.  They are dropped by indexing/squeezing (the fallback
     path remains correct).
+
+    ``overflow_points`` (scalar int32, or None when unavailable) counts
+    candidate(bin, Gaussian) memberships the coarse stage DROPPED because a
+    bin/supertile exceeded its static candidate capacity.  Zero means the
+    render is exact; nonzero means a denser scene than the capacity
+    heuristic planned for — raise ``max_point_per_bin`` to grow it.  (The
+    reference silently truncates with only a device-side printf,
+    ``rasterize_coarse.cu:154-170``.)  See :func:`get_overflow_points`.
     """
 
     def __init__(self, vert_weight, vert_index, valid_num, vert_hit_length,
-                 attr_ctx=None, attr_geom=None):
+                 attr_ctx=None, overflow_points=None, attr_geom=None):
         self.vert_weight = vert_weight
         self.vert_index = vert_index
         self.valid_num = valid_num
         self.vert_hit_length = vert_hit_length
         self.attr_ctx = attr_ctx
+        self.overflow_points = overflow_points
         self.attr_geom = attr_geom
 
     def __getitem__(self, item):
@@ -97,7 +106,7 @@ class Fragments:
     def tree_flatten(self):
         return (
             (self.vert_weight, self.vert_index, self.valid_num,
-             self.vert_hit_length, self.attr_ctx),
+             self.vert_hit_length, self.attr_ctx, self.overflow_points),
             self.attr_geom,
         )
 
@@ -219,13 +228,20 @@ def render_pipeline(
     )
     vert_weight = agg(sel_idx, sel_act, sel_len, sel_dsd)
 
-    if ctx is None:
+    if ctx is None or "geom" not in ctx:
+        # image-layout selections (no-ctx paths); overflow from the coarse
+        # counts when the culling path provided it, else exact (zero)
+        ovf = (
+            jnp.sum(ctx["overflow"]).astype(jnp.int32)
+            if ctx is not None else jnp.zeros((), jnp.int32)
+        )
         valid_num = jnp.sum(sel_idx >= 0, axis=-1)
         return Fragments(
             vert_weight=vert_weight,
             vert_index=sel_idx,
             valid_num=valid_num,
             vert_hit_length=sel_len,
+            overflow_points=ovf,
         )
 
     from voge_tpu.ops.fine import unbin_kern
@@ -247,6 +263,7 @@ def render_pipeline(
         valid_num=jnp.sum(vert_index >= 0, axis=-1),
         vert_hit_length=ub(sel_len),
         attr_ctx=attr_ctx,
+        overflow_points=jnp.sum(ctx["overflow"]).astype(jnp.int32),
         attr_geom=geom,
     )
 
@@ -372,6 +389,23 @@ def _interpolate_attr_fused(fragments: Fragments, vert_attr: jax.Array):
         )
     img = unbin_kern(img_k, B, BH, BW, H, W, bsh, bsw, grouped)
     return img[..., :d]
+
+
+def get_overflow_points(fragments: Fragments) -> int:
+    """Total candidate memberships dropped by the coarse stage's capacity
+    caps for this render (0 = exact).  Nonzero means the scene is denser
+    than the per-bin candidate capacity; raise
+    ``GaussianRenderSettings.max_point_per_bin`` to grow it.  Returns 0 when
+    the producing path did not track overflow (e.g. fragments rebuilt by
+    indexing/squeezing).
+
+    Reference behavior being improved on: the CUDA coarse stage printf's a
+    warning device-side and silently truncates (rasterize_coarse.cu:154-170).
+    """
+    ovf = getattr(fragments, "overflow_points", None)
+    if ovf is None:
+        return 0
+    return int(ovf)
 
 
 def get_silhouette(fragments: Fragments) -> jax.Array:

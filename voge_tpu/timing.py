@@ -61,4 +61,12 @@ def measure(fn: Callable, args_list: Sequence, n1: int = 5, n2: int = 25,
         est = (t2 - t1) / (n2 - n1)
         if est > 0:
             break
-    return est if est is not None and est > 0 else 1e-9
+    if est is None or est <= 0:
+        # A nonpositive estimate after all retries means the attachment is
+        # misbehaving (program reloads mid-measurement); a silent tiny floor
+        # would surface as an absurd inflated fps — fail loudly instead.
+        raise RuntimeError(
+            f"timing.measure: nonpositive per-exec estimate ({est!r}) after "
+            f"{max_retries} attempts; the device attachment is unstable"
+        )
+    return est
