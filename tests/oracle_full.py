@@ -353,11 +353,17 @@ def reference_render(ref, verts, sigmas, R, T, focal, principal, image_size,
 
 
 def reference_interpolate(ref, frag_dict, vert_attr):
-    """``interpolate_attr`` via the reference's own ``merge_final``."""
+    """``interpolate_attr`` via the reference's own ``merge_final``.
+
+    The reference ``merge_final`` mutates ``vert_assign`` IN PLACE
+    (``vert_assign += (vert_assign < 0) * 1``, ``Aggregation.py:133``); the
+    reference renderer guards its fragments with ``.clone()``
+    (``Renderer.py:145``) — mirrored here so ``frag_dict['vert_index']``
+    stays comparable after compositing."""
     return ref.Aggregation.merge_final(
         vert_attr=vert_attr, weight=frag_dict["vert_weight"],
         valid_num=frag_dict["valid_num"],
-        vert_assign=frag_dict["vert_index"],
+        vert_assign=frag_dict["vert_index"].clone(),
     )
 
 

@@ -1,0 +1,341 @@
+"""Full-chain parity gate over the six BASELINE.md configs.
+
+Runs the voge_tpu pipeline (on the ACTIVE jax backend — run once on the TPU
+attachment for the Pallas production path and once under JAX_PLATFORMS=cpu
+for the XLA fallback) against the literal float64 reference oracle
+(tests/oracle_full.py), and writes PARITY.json with per-config:
+
+  - ``flip_frac``: fraction of pixels whose top-K selection differs
+    (knife-edge candidates at the f32 threshold; see
+    tests/test_parity_full.py docstring for the methodology),
+  - ``max_err_agree`` / ``max_err_flip``: max |pixel error| over
+    agreeing / flipped pixels (white-background RGB + silhouette),
+  - ``exact_f64_err``: ours-in-float64 vs oracle (CPU only) — the
+    same-mathematical-function proof,
+  - ``overflow_points``: candidates dropped by capacity caps (0 = exact).
+
+Usage:  python tools/parity_gate.py [--skip-f64] [--configs a,b,...]
+"""
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests")
+)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
+# this environment's sitecustomize force-registers the TPU backend and
+# overrides JAX_PLATFORMS; pin the platform through jax.config as well
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+REF_DATA = "/root/reference/demo/data"
+
+
+def _load_reference():
+    from ref_loader import _load_reference as load
+
+    return load()
+
+
+# ---------------------------------------------------------------------------
+# the six BASELINE.md configs
+# ---------------------------------------------------------------------------
+
+def cfg_quickstart():
+    """Readme.md:70-101: 1000-G cuboid, 256^2, K=20."""
+    from voge_tpu.converter import Cuboid
+    from voge_tpu.cameras import look_at_view_transform
+
+    g = Cuboid.cuboid_gauss((-1, 1), (-1, 1), (-1, 1), 1000,
+                            percentage=0.6, as_obj=True)
+    verts = np.asarray(g.verts, np.float32)
+    R, T = look_at_view_transform(dist=6, elev=10, azim=70)
+    return dict(
+        verts=verts, sigmas=np.asarray(g.sigmas, np.float32),
+        colors=((verts + 1) / 3).astype(np.float32),
+        R=np.asarray(R), T=np.asarray(T),
+        focal=np.array([[300.0, 300.0]], np.float32),
+        principal=np.array([[128.0, 128.0]], np.float32),
+        H=256, W=256, K=20, mppb=None,
+    )
+
+
+def cfg_bunny():
+    """demo/RenderBunny.py:27-44: bunny mesh, 256^2, K=40, focal 2000."""
+    from voge_tpu.converter.io import load_off
+    from voge_tpu.converter.converters import naive_vertices_converter
+    from voge_tpu.converter.shapes import vertex_normals
+    from voge_tpu.cameras import look_at_view_transform
+
+    verts_, faces_ = load_off(os.path.join(REF_DATA, "bunny.off"))
+    v, isig, _ = naive_vertices_converter(verts_, faces_, percentage=0.6)
+    normals = vertex_normals(np.asarray(verts_), np.asarray(faces_))
+    colors = (normals * 0.4 + 0.4).astype(np.float32)
+    R, T = look_at_view_transform([6], [0], [10], degrees=True)
+    return dict(
+        verts=np.asarray(v, np.float32), sigmas=np.asarray(isig, np.float32),
+        colors=colors, R=np.asarray(R), T=np.asarray(T),
+        focal=np.array([[2000.0, 2000.0]], np.float32),
+        principal=np.array([[128.0, 128.0]], np.float32),
+        H=256, W=256, K=40, mppb=None,
+    )
+
+
+def cfg_pointcloud():
+    """demo/RenderPointClouds.py class: fixed-radius pointcloud at 320^2.
+    The reference's PittsburghBridge data is not in the repo; a synthetic
+    30K cloud with the demo's radius scale stands in (same math path)."""
+    from voge_tpu.converter.converters import fixed_pointcloud_converter
+    from voge_tpu.cameras import look_at_view_transform
+
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1, 1, size=(30000, 3)).astype(np.float32)
+    verts, isig, _ = fixed_pointcloud_converter(pts, radius=0.01)
+    rng2 = np.random.RandomState(1)
+    colors = rng2.uniform(size=(verts.shape[0], 3)).astype(np.float32)
+    R, T = look_at_view_transform(dist=4, elev=20, azim=30)
+    return dict(
+        verts=np.asarray(verts, np.float32),
+        sigmas=np.asarray(isig, np.float32), colors=colors,
+        R=np.asarray(R), T=np.asarray(T),
+        focal=np.array([[400.0, 400.0]], np.float32),
+        principal=np.array([[160.0, 160.0]], np.float32),
+        H=320, W=320, K=20, mppb=None,
+    )
+
+
+def cfg_shapefitting():
+    """demo/ShapeFitting.py:219-296: ico_sphere(4), 128^2, K=25, no-coarse."""
+    from voge_tpu.converter.converters import naive_vertices_converter
+    from voge_tpu.converter.shapes import ico_sphere
+    from voge_tpu.cameras import look_at_view_transform
+
+    v, f = ico_sphere(4)
+    verts, isig, _ = naive_vertices_converter(v, f, percentage=0.5)
+    colors = np.ones((verts.shape[0], 3), np.float32) * 0.5
+    R, T = look_at_view_transform(dist=2.7, elev=10, azim=60)
+    return dict(
+        verts=np.asarray(verts, np.float32),
+        sigmas=np.asarray(isig, np.float32), colors=colors,
+        R=np.asarray(R), T=np.asarray(T),
+        focal=np.array([[126.0, 126.0]], np.float32),
+        principal=np.array([[64.0, 64.0]], np.float32),
+        H=128, W=128, K=25, mppb=-1,
+    )
+
+
+def cfg_occlusion():
+    """demo/ReasonOcclusion.py:52-118: two cuboids (~7K G), 400^2, K=60."""
+    from voge_tpu.converter import Cuboid
+    from voge_tpu.cameras import look_at_view_transform
+
+    colors0 = np.array([[0, 0.2, 1], [0, 0.2, 1], [0, 1, 0.2],
+                        [0, 1, 0.2], [0, 1, 1], [0, 1, 1]])
+    v0, s0, c0 = Cuboid.cuboid_gauss((-0.8, 0.8), (-0.4, 0.4), (-0.6, 0.6),
+                                     4000, colors=colors0, percentage=0.7)
+    colors1 = np.array([[1, 0.2, 0], [1, 0.2, 0], [1, 1, 0],
+                        [1, 1, 0], [0.2, 1, 0], [0.2, 1, 0]])
+    v1, s1, c1 = Cuboid.cuboid_gauss((-1, 1), (-1, 1), (-0.3, 0.3),
+                                     3000, colors=colors1, percentage=0.7)
+    verts = np.concatenate([v0 + np.array([[0.5, 0, 1]], np.float32), v1])
+    sigmas = np.concatenate([np.broadcast_to(s0, (v0.shape[0],)) if np.ndim(s0) == 0 else s0,
+                             np.broadcast_to(s1, (v1.shape[0],)) if np.ndim(s1) == 0 else s1])
+    colors = np.concatenate([c0, c1]).astype(np.float32)
+    R, T = look_at_view_transform(dist=5, elev=10, azim=20)
+    return dict(
+        verts=verts.astype(np.float32), sigmas=np.asarray(sigmas, np.float32),
+        colors=colors, R=np.asarray(R), T=np.asarray(T),
+        focal=np.array([[300.0, 300.0]], np.float32),
+        principal=np.array([[200.0, 200.0]], np.float32),
+        H=400, W=400, K=60, mppb=1500,
+    )
+
+
+def cfg_texture():
+    """demo/ExtractTexture.py:26-57: car CAD, 256x672, K=80 +
+    sample_features from the annotated real image."""
+    from voge_tpu.converter.io import load_off, pre_process_pascal
+    from voge_tpu.converter.converters import naive_vertices_converter
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.utils import rotation_theta
+    import jax.numpy as jnp
+
+    annos = np.load(os.path.join(REF_DATA, "car_annotation.npz"))
+    verts_, faces_ = load_off(os.path.join(REF_DATA, "car.off"))
+    verts_, faces_ = pre_process_pascal(verts_, faces_)
+    v, isig, _ = naive_vertices_converter(verts_, faces_, percentage=0.5,
+                                          max_sig_rate=2)
+    theta = float(annos["theta"])
+    azim = float(annos["azimuth"])
+    elev = float(annos["elevation"])
+    R, T = look_at_view_transform([3], [elev], [azim], degrees=False)
+    R = np.einsum("bij,bjk->bik", np.asarray(R),
+                  np.asarray(rotation_theta(jnp.asarray([theta]))))
+    colors = np.ones((v.shape[0], 3), np.float32) * 0.5
+    return dict(
+        verts=np.asarray(v, np.float32), sigmas=np.asarray(isig, np.float32),
+        colors=colors, R=R.astype(np.float32), T=np.asarray(T),
+        focal=np.array([[1800.0, 1800.0]], np.float32),
+        principal=np.array([[336.0, 128.0]], np.float32),
+        H=256, W=672, K=80, mppb=None, sample_image="car_image.JPEG",
+    )
+
+
+CONFIGS = dict(
+    quickstart=cfg_quickstart,
+    bunny=cfg_bunny,
+    pointcloud=cfg_pointcloud,
+    shapefitting=cfg_shapefitting,
+    occlusion=cfg_occlusion,
+    texture=cfg_texture,
+)
+
+
+# ---------------------------------------------------------------------------
+# runner
+# ---------------------------------------------------------------------------
+
+def run_config(name, cfg, ref, skip_f64=False):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from voge_tpu.aggregation import expend_sigma
+    from voge_tpu.renderer import (
+        get_overflow_points,
+        get_silhouette,
+        render_pipeline,
+        to_white_background,
+    )
+    from oracle_full import (
+        reference_render,
+        reference_silhouette,
+        reference_white_background,
+    )
+
+    H, W, K = cfg["H"], cfg["W"], cfg["K"]
+    P = cfg["verts"].shape[0]
+    # exact run: no truncation anywhere (reference overflow order is
+    # nondeterministic; see tests/test_parity_full.py)
+    mppb = P if cfg["mppb"] is None or cfg["mppb"] > 0 else cfg["mppb"]
+    t = lambda x: torch.tensor(np.asarray(x), dtype=torch.float64)
+    sig33 = np.asarray(expend_sigma(jnp.asarray(cfg["sigmas"])))
+
+    t0 = time.time()
+    frag = render_pipeline(
+        jnp.asarray(cfg["verts"]), jnp.asarray(cfg["sigmas"]),
+        jnp.asarray(cfg["R"]), jnp.asarray(cfg["T"]),
+        jnp.asarray(cfg["focal"]), jnp.asarray(cfg["principal"]),
+        image_size=(H, W), max_assign=K, max_point_per_bin=mppb,
+    )
+    img = np.asarray(to_white_background(frag, jnp.asarray(cfg["colors"])))
+    sil = np.asarray(get_silhouette(frag))
+    ours_s = time.time() - t0
+
+    t0 = time.time()
+    fd = reference_render(
+        ref, t(cfg["verts"]), t(sig33), t(cfg["R"]), t(cfg["T"]),
+        t(cfg["focal"]), t(cfg["principal"]), (H, W), max_assign=K,
+        max_point_per_bin=mppb,
+    )
+    img_o = reference_white_background(ref, fd, t(cfg["colors"])).numpy()
+    sil_o = reference_silhouette(fd).numpy()
+    oracle_s = time.time() - t0
+
+    i1 = np.asarray(frag.vert_index)
+    i2 = fd["vert_index"].numpy()
+    flips = (i1 != i2).any(axis=-1)
+    d_img = np.abs(img - img_o)
+    d_sil = np.abs(sil - sil_o)[..., None]
+    agree = ~flips
+
+    def _mx(d, m):
+        d2 = d.reshape(m.shape + (-1,))
+        return float(d2[m].max()) if m.any() else 0.0
+
+    res = dict(
+        backend=jax.default_backend(),
+        n_gauss=int(P), H=H, W=W, K=K, mppb=int(mppb),
+        flip_frac=float(flips.mean()),
+        max_err_agree=float(max(_mx(d_img, agree), _mx(d_sil, agree))),
+        max_err_flip=float(max(_mx(d_img, flips), _mx(d_sil, flips))),
+        overflow_points=int(get_overflow_points(frag)),
+        ours_s=round(ours_s, 2), oracle_s=round(oracle_s, 2),
+    )
+
+    if "sample_image" in cfg:
+        from PIL import Image
+        from voge_tpu.sampler import sample_features
+        from oracle_full import reference_sample_features
+
+        im = np.asarray(
+            Image.open(os.path.join(REF_DATA, cfg["sample_image"]))
+        ).astype(np.float32)
+        feat, wsum = sample_features(frag, jnp.asarray(im)[None])
+        feat_o, wsum_o = reference_sample_features(fd, t(im[None]), P)
+        tex = np.asarray(feat) / (1e-8 + np.asarray(wsum)[:, None]) / 255.0
+        tex_o = (feat_o / (1e-8 + wsum_o[:, None])).numpy() / 255.0
+        keep = np.asarray(wsum_o) > 1e-3
+        res["max_err_texture"] = float(np.abs(tex - tex_o)[keep].max())
+
+    if not skip_f64 and jax.default_backend() == "cpu":
+        with jax.enable_x64(True):
+            frag64 = render_pipeline(
+                jnp.asarray(cfg["verts"], jnp.float64),
+                jnp.asarray(sig33, jnp.float64),
+                jnp.asarray(cfg["R"], jnp.float64),
+                jnp.asarray(cfg["T"], jnp.float64),
+                jnp.asarray(cfg["focal"], jnp.float64),
+                jnp.asarray(cfg["principal"], jnp.float64),
+                image_size=(H, W), max_assign=K, max_point_per_bin=mppb,
+            )
+            img64 = np.asarray(
+                to_white_background(frag64, jnp.asarray(cfg["colors"], jnp.float64))
+            )
+            idx64 = np.asarray(frag64.vert_index)
+        res["exact_f64_err"] = float(np.abs(img64 - img_o).max())
+        res["exact_f64_idx_match"] = bool((idx64 == i2).all())
+    return res
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-f64", action="store_true")
+    ap.add_argument("--configs", default=",".join(CONFIGS))
+    ap.add_argument("--out", default="PARITY.json")
+    args = ap.parse_args()
+
+    ref = _load_reference()
+    import jax
+
+    out = {"backend": jax.default_backend(), "configs": {}}
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), args.out)
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+        out.setdefault("configs", {})
+    for name in args.configs.split(","):
+        print(f"=== {name}", flush=True)
+        cfg = CONFIGS[name]()
+        res = run_config(name, cfg, ref, skip_f64=args.skip_f64)
+        key = f"{name}@{res['backend']}"
+        out["configs"][key] = res
+        print(json.dumps({key: res}), flush=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

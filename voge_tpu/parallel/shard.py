@@ -77,6 +77,14 @@ def _merge_topk(sel_idx, sel_len, sel_act, sel_dsd, K: int, axis_name: str):
     return out_idx, out_len, out_act, out_dsd
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "mesh", "image_size", "max_assign", "thr_activation", "absorptivity",
+        "inverse_sigma", "bin_size", "max_point_per_bin", "data_axis",
+        "model_axis",
+    ),
+)
 def render_pipeline_sharded(
     verts: jax.Array,      # (N, 3) world-space means (unbatched scene)
     sigmas: jax.Array,     # (N,) / (N,3) / (N,3,3)
@@ -100,6 +108,9 @@ def render_pipeline_sharded(
     Constraints: B divisible by the data axis size, N by the model axis
     size.  Returned fragment indices are *global* (b * N + n), identical to
     the single-chip renderer.
+
+    Jitted with the mesh/config static: calling eagerly would dispatch every
+    ``shard_map`` primitive separately (orders of magnitude slower).
     """
     sigmas = expend_sigma(sigmas)
     B = R.shape[0]
