@@ -232,12 +232,14 @@ def reference_fine(mus, isigmas, rays, bin_points, thr, bin_size, K,
                 mu = mus[cand]                                # (C, 3)
                 lam = isigmas[cand]                           # (C, 3, 3)
                 r = rays[b, y0:y1, x0:x1].reshape(-1, 3)      # (Rp, 3)
-                # Innerdot3d contraction order (ray_trace_voge.cu:11-38):
-                # a^T B c with B = Lambda
-                lam_r = torch.einsum("cij,rj->cri", lam, r)   # (C, Rp, 3)
-                ksk = torch.einsum("ri,cri->cr", r, lam_r)
-                msk = torch.einsum("ci,cri->cr", mu, lam_r)
-                msm = torch.einsum("ci,cij,cj->c", mu, lam, mu)[:, None]
+                # Innerdot3d math (ray_trace_voge.cu:11-38), contracted
+                # without (C, Rp, 3) intermediates: ksk = lam9 . rr,
+                # msk = (mu^T lam) . r  — exact in f64 regardless of order
+                rr = torch.einsum("ri,rj->rij", r, r).reshape(-1, 9)  # (Rp, 9)
+                ksk = lam.reshape(-1, 9) @ rr.T               # (C, Rp)
+                a = torch.einsum("ci,cij->cj", mu, lam)       # (C, 3)
+                msk = a @ r.T                                 # (C, Rp)
+                msm = torch.einsum("cj,cj->c", a, mu)[:, None]
                 length = msk / ksk                            # (C, Rp)
                 act = msm - msk * msk / ksk
                 ok = act < thr_act

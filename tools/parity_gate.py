@@ -226,11 +226,28 @@ def run_config(name, cfg, ref, skip_f64=False):
 
     H, W, K = cfg["H"], cfg["W"], cfg["K"]
     P = cfg["verts"].shape[0]
-    # exact run: no truncation anywhere (reference overflow order is
-    # nondeterministic; see tests/test_parity_full.py)
-    mppb = P if cfg["mppb"] is None or cfg["mppb"] > 0 else cfg["mppb"]
     t = lambda x: torch.tensor(np.asarray(x), dtype=torch.float64)
     sig33 = np.asarray(expend_sigma(jnp.asarray(cfg["sigmas"])))
+
+    # Oracle first: its exact per-bin counts give the no-truncation mppb
+    # (the reference overflow drop order is nondeterministic, so gate
+    # configs must not truncate; see tests/test_parity_full.py).  Passing
+    # mppb=P would make the CPU fallback's dense (bins, R, mppb) hit
+    # tensors blow up; the max bin count is the tight exact bound.
+    t0 = time.time()
+    fd = reference_render(
+        ref, t(cfg["verts"]), t(sig33), t(cfg["R"]), t(cfg["T"]),
+        t(cfg["focal"]), t(cfg["principal"]), (H, W), max_assign=K,
+        max_point_per_bin=P if cfg["mppb"] != -1 else -1,
+    )
+    img_o = reference_white_background(ref, fd, t(cfg["colors"])).numpy()
+    sil_o = reference_silhouette(fd).numpy()
+    oracle_s = time.time() - t0
+
+    if cfg["mppb"] == -1:
+        mppb = -1
+    else:
+        mppb = int(fd["bin_counts"].max()) + 8
 
     t0 = time.time()
     frag = render_pipeline(
@@ -243,16 +260,6 @@ def run_config(name, cfg, ref, skip_f64=False):
     sil = np.asarray(get_silhouette(frag))
     ours_s = time.time() - t0
 
-    t0 = time.time()
-    fd = reference_render(
-        ref, t(cfg["verts"]), t(sig33), t(cfg["R"]), t(cfg["T"]),
-        t(cfg["focal"]), t(cfg["principal"]), (H, W), max_assign=K,
-        max_point_per_bin=mppb,
-    )
-    img_o = reference_white_background(ref, fd, t(cfg["colors"])).numpy()
-    sil_o = reference_silhouette(fd).numpy()
-    oracle_s = time.time() - t0
-
     i1 = np.asarray(frag.vert_index)
     i2 = fd["vert_index"].numpy()
     flips = (i1 != i2).any(axis=-1)
@@ -264,9 +271,22 @@ def run_config(name, cfg, ref, skip_f64=False):
         d2 = d.reshape(m.shape + (-1,))
         return float(d2[m].max()) if m.any() else 0.0
 
+    # f32 activation-error envelope: act = msm - msk^2/ksk cancels
+    # catastrophically when msm is large (tiny sigmas); any f32
+    # implementation (including the CUDA reference, ray_trace_voge.cu:
+    # 188-193, same formula) carries |d act| ~ eps_f32 * msm, which flips
+    # threshold tests and scales weight error by e^{|d act|}.
+    Rn = np.asarray(cfg["R"], np.float64)[0]
+    Tn = np.asarray(cfg["T"], np.float64)[0]
+    C_cam = -Tn @ np.linalg.inv(Rn)
+    mu = np.asarray(cfg["verts"], np.float64) - C_cam
+    lam = 2.0 * np.asarray(sig33, np.float64)
+    msm = np.einsum("ni,nij,nj->n", mu, lam, mu)
+    act_scale = float(np.percentile(msm, 99))
     res = dict(
         backend=jax.default_backend(),
         n_gauss=int(P), H=H, W=W, K=K, mppb=int(mppb),
+        f32_act_envelope=float(1.2e-7 * act_scale),
         flip_frac=float(flips.mean()),
         max_err_agree=float(max(_mx(d_img, agree), _mx(d_sil, agree))),
         max_err_flip=float(max(_mx(d_img, flips), _mx(d_sil, flips))),
