@@ -98,12 +98,174 @@ def build_fwd_pointcloud(n_points=100000, image_size=(320, 320)):
     return fn, [(verts * (1 + 1e-4 * i),) for i in range(16)]
 
 
+def build_occlusion():
+    """The ReasonOcclusion workload class (BASELINE.md): ~7K Gaussians from
+    two cuboids, 400x400, K=60, max_point_per_bin=1500, fwd+bwd
+    (demo/ReasonOcclusion.py:52-118)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.converter import Cuboid
+    from voge_tpu.renderer import (
+        get_silhouette, interpolate_attr, render_pipeline,
+    )
+
+    c0 = np.array([[0, 0.2, 1], [0, 0.2, 1], [0, 1, 0.2],
+                   [0, 1, 0.2], [0, 1, 1], [0, 1, 1]])
+    v0, s0, col0 = Cuboid.cuboid_gauss((-0.8, 0.8), (-0.4, 0.4), (-0.6, 0.6),
+                                       4000, colors=c0, percentage=0.7)
+    c1 = np.array([[1, 0.2, 0], [1, 0.2, 0], [1, 1, 0],
+                   [1, 1, 0], [0.2, 1, 0], [0.2, 1, 0]])
+    v1, s1, col1 = Cuboid.cuboid_gauss((-1, 1), (-1, 1), (-0.3, 0.3),
+                                       3000, colors=c1, percentage=0.7)
+    verts = jnp.asarray(np.concatenate([v0 + [[0.5, 0, 1]], v1], 0))
+    sigmas = jnp.asarray(np.concatenate([s0, s1], 0))
+    colors = jnp.asarray(np.concatenate([col0, col1], 0))
+    R, T = look_at_view_transform(dist=5, elev=10, azim=20)
+    focal = jnp.asarray([[300.0, 300.0]])
+    principal = jnp.asarray([[200.0, 200.0]])
+    target = jnp.ones((1, 400, 400, 3)) * 0.5
+
+    def loss_fn(verts, sigmas, colors):
+        frag = render_pipeline(
+            verts, sigmas, R, T, focal, principal, image_size=(400, 400),
+            max_assign=60, max_point_per_bin=1500,
+        )
+        img = interpolate_attr(frag, colors)
+        sil = get_silhouette(frag)
+        return jnp.mean((img - target) ** 2) + jnp.mean(sil ** 2)
+
+    fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
+    args_list = [
+        (verts * (1.0 + 1e-4 * i), sigmas, colors) for i in range(16)
+    ]
+    return fn, args_list, verts.shape[0]
+
+
+def build_texture():
+    """The ExtractTexture workload class (BASELINE.md): car-scale Gaussians,
+    256x672, K=80, forward render + sample_features + textured re-render
+    (demo/ExtractTexture.py:26-57)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.converter.converters import naive_vertices_converter
+    from voge_tpu.converter.shapes import ico_sphere
+    from voge_tpu.renderer import render_pipeline, to_white_background
+    from voge_tpu.sampler import sample_features
+
+    # car.off-scale scene without reading reference data from the bench:
+    # a subdivided sphere with ~16K vertices matches the car CAD's density
+    v, f = ico_sphere(5)
+    verts_np, isig, _ = naive_vertices_converter(v, f, percentage=0.5,
+                                                 max_sig_rate=2)
+    verts = jnp.asarray(verts_np)
+    sigmas = jnp.asarray(isig)
+    n_vert = verts.shape[0]
+    R, T = look_at_view_transform(dist=3, elev=0.1, azim=0.6, degrees=False)
+    focal = jnp.asarray([[1800.0, 1800.0]])
+    principal = jnp.asarray([[336.0, 128.0]])
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.uniform(size=(1, 256, 672, 3)).astype(np.float32))
+
+    def extract_and_rerender(verts, sigmas, image):
+        frag = render_pipeline(
+            verts, sigmas, R, T, focal, principal, image_size=(256, 672),
+            max_assign=80,
+        )
+        feat, wsum = sample_features(frag, image)
+        texture = feat / (1e-8 + wsum[:, None])
+        return to_white_background(frag, texture)
+
+    fn = jax.jit(extract_and_rerender)
+    args_list = [
+        (verts * (1.0 + 1e-4 * i), sigmas, image) for i in range(16)
+    ]
+    return fn, args_list, n_vert
+
+
+def build_shapefit_iter():
+    """The ShapeFitting iteration (BASELINE.md): ico_sphere(4) Gaussians,
+    128x128, K=25, no-coarse, 5 views per step, silhouette+RGB MSE, SGD
+    (demo/ShapeFitting.py:219-296).  One call = one optimization step with
+    the 5 views rendered as ONE batched camera call (the reference loops
+    them sequentially)."""
+    import jax
+    import jax.numpy as jnp
+
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.converter.converters import naive_vertices_converter
+    from voge_tpu.converter.shapes import ico_sphere
+    from voge_tpu.renderer import (
+        get_silhouette, interpolate_attr, render_pipeline,
+    )
+
+    v, f = ico_sphere(4)
+    verts_np, isig, _ = naive_vertices_converter(v, f, percentage=0.5)
+    verts = jnp.asarray(verts_np)
+    sigmas = jnp.asarray(isig)
+    colors = jnp.ones((verts.shape[0], 3)) * 0.5
+    B = 5
+    R, T = look_at_view_transform(
+        dist=[2.7] * B, elev=list(np.linspace(-10, 30, B)),
+        azim=list(np.linspace(-60, 60, B)),
+    )
+    focal = jnp.broadcast_to(jnp.asarray([[126.0, 126.0]]), (B, 2))
+    principal = jnp.broadcast_to(jnp.asarray([[64.0, 64.0]]), (B, 2))
+    t_sil = jnp.zeros((B, 128, 128))
+    t_rgb = jnp.ones((B, 128, 128, 3)) * 0.3
+
+    def loss_fn(verts, colors):
+        frag = render_pipeline(
+            verts, sigmas, R, T, focal, principal, image_size=(128, 128),
+            max_assign=25, max_point_per_bin=-1,
+        )
+        rgb = interpolate_attr(frag, colors)
+        sil = get_silhouette(frag)
+        return jnp.mean((sil - t_sil) ** 2) + jnp.mean((rgb - t_rgb) ** 2)
+
+    lr = 1.0
+
+    @jax.jit
+    def step(verts, colors):
+        gv, gc = jax.grad(loss_fn, argnums=(0, 1))(verts, colors)
+        return verts - lr * gv, colors - lr * gc
+
+    args_list = [
+        (verts * (1.0 + 1e-4 * i), colors) for i in range(16)
+    ]
+    return step, args_list, verts.shape[0]
+
+
 def _measure_fwdbwd(n_gauss):
     from voge_tpu.timing import measure
 
     fn, args_list, n_actual = build_fwdbwd(n_gauss)
     t = measure(fn, args_list, n1=4, n2=20)
     return {"t": t, "n": n_actual}
+
+
+def _measure_occlusion():
+    from voge_tpu.timing import measure
+
+    fn, args_list, n = build_occlusion()
+    return {"t": measure(fn, args_list, n1=3, n2=12), "n": n}
+
+
+def _measure_texture():
+    from voge_tpu.timing import measure
+
+    fn, args_list, n = build_texture()
+    return {"t": measure(fn, args_list, n1=3, n2=12), "n": n}
+
+
+def _measure_shapefit():
+    from voge_tpu.timing import measure
+
+    fn, args_list, n = build_shapefit_iter()
+    return {"t": measure(fn, args_list, n1=3, n2=12), "n": n}
 
 
 def _measure_fwdbwd_all():
@@ -158,15 +320,7 @@ def main():
         results[f"fwdbwd_fps_{key}"] = 1.0 / r[key]["t"]
         results[f"fwdbwd_ms_{key}"] = r[key]["t"] * 1000
         results[f"n_gauss_{key}"] = r[key]["n"]
-
-    try:
-        try:
-            r = _in_subprocess("_measure_pointcloud()")
-        except Exception:
-            r = _measure_pointcloud()  # in-process fallback
-        results["fwd_ms_pointcloud_100k_320"] = r["t"] * 1000
-    except Exception as e:  # keep the headline metric robust
-        results["fwd_ms_pointcloud_100k_320"] = f"failed: {e}"
+    _aux_workloads(results)
 
     with open("BENCH_DETAILS.json", "w") as f:
         json.dump(results, f, indent=2)
@@ -178,6 +332,27 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(value / A100_BASELINE_FPS_10K, 3),
     }))
+
+
+def _aux_workloads(results):
+
+    aux_workloads = [
+        ("fwd_ms_pointcloud_100k_320", "_measure_pointcloud()", "t_ms"),
+        ("fwdbwd_ms_occlusion_400_k60", "_measure_occlusion()", "t_ms"),
+        ("fwd_ms_texture_256x672_k80", "_measure_texture()", "t_ms"),
+        ("iter_ms_shapefit_128_k25_5views", "_measure_shapefit()", "t_ms"),
+    ]
+    for key, call, _fmt in aux_workloads:
+        try:
+            try:
+                r = _in_subprocess(call)
+            except Exception:
+                r = globals()[call.split("(")[0]]()  # in-process fallback
+            results[key] = r["t"] * 1000
+            if "n" in r:
+                results[key + "_n_gauss"] = r["n"]
+        except Exception as e:  # keep the headline metric robust
+            results[key] = f"failed: {e}"
 
 
 if __name__ == "__main__":

@@ -13,10 +13,18 @@ The TPU-native equivalents here use SPMD collectives over ICI instead:
     the axis and re-reduced to the global top-K.  Selection is exact: the
     global K nearest survive the two-stage reduction because each shard
     keeps its own K nearest.
+  - **ring variant** (``ring=True``): instead of widening the per-pixel
+    lists to (shards * K) with an all-gather, the Gaussian *blocks*
+    (verts + sigmas) rotate around the model axis with ``ppermute`` (ICI
+    neighbor traffic); each chip folds one visiting block per step into its
+    running per-pixel top-K — the ring-attention structure applied to top-K
+    selection.  Per-pixel state stays K wide regardless of shard count, and
+    block transfer overlaps with the local selection work.  Exact: after
+    ``m`` steps every chip has reduced over every Gaussian.
 
 Both compose: ``render_pipeline_sharded`` runs under ``shard_map`` on a
 ('data', 'model') mesh and is differentiable end-to-end (shard_map
-transposes all_gather to reduce-scatter / psum automatically).
+transposes all_gather / ppermute to their adjoints automatically).
 """
 from __future__ import annotations
 
@@ -82,7 +90,7 @@ def _merge_topk(sel_idx, sel_len, sel_act, sel_dsd, K: int, axis_name: str):
     static_argnames=(
         "mesh", "image_size", "max_assign", "thr_activation", "absorptivity",
         "inverse_sigma", "bin_size", "max_point_per_bin", "data_axis",
-        "model_axis",
+        "model_axis", "ring",
     ),
 )
 def render_pipeline_sharded(
@@ -100,10 +108,14 @@ def render_pipeline_sharded(
     max_point_per_bin: Optional[int] = None,
     data_axis: str = "data",
     model_axis: Optional[str] = "model",
+    ring: bool = False,
 ) -> Fragments:
     """Multi-chip forward render: cameras sharded over ``data_axis``,
     Gaussians sharded over ``model_axis`` (set ``model_axis=None`` to
-    replicate the scene).
+    replicate the scene).  With ``ring=True`` the model axis uses the
+    ppermute ring (Gaussian blocks rotate; per-pixel state stays K wide)
+    instead of the all-gather K-list merge — prefer it when
+    ``model_size * K`` per pixel is large.
 
     Constraints: B divisible by the data axis size, N by the model axis
     size.  Returned fragment indices are *global* (b * N + n), identical to
@@ -121,10 +133,15 @@ def render_pipeline_sharded(
     assert N % m_size == 0, f"num Gaussians {N} not divisible by {m_size}"
     axes = ([model_axis] if model_axis else [])
 
-    def local_render(verts_l, sigmas_l, R_l, T_l, f_l, p_l):
+    def _select_block(verts_l, sigmas_l, R_l, T_l, f_l, p_l, src_shard,
+                      size=None):
+        """Selection of one Gaussian block for the local cameras; returns
+        K-lists with indices mapped to the global (b * N + n) space using
+        the block's origin shard."""
+        size = image_size if size is None else size
         B_l = R_l.shape[0]
         N_l = verts_l.shape[0]
-        rays, origins = camera_rays(R_l, T_l, f_l, p_l, image_size)
+        rays, origins = camera_rays(R_l, T_l, f_l, p_l, size)
         verts_t = verts_l[None] - origins[:, None, :]
         verts_t = jnp.broadcast_to(verts_t, (B_l, N_l, 3))
         sig = jnp.broadcast_to(sigmas_l[None], (B_l, N_l, 3, 3))
@@ -132,27 +149,85 @@ def render_pipeline_sharded(
 
         isig = 2.0 * inv3x3(sig) if inverse_sigma else 2.0 * sig
         sel_idx, sel_len, sel_act, sel_dsd = ray_tracing(
-            (R_l, T_l, f_l, p_l), verts_t, isig, rays, image_size,
+            (R_l, T_l, f_l, p_l), verts_t, isig, rays, size,
             thr=thr_activation, n_assign=max_assign,
             bin_size=bin_size, max_points_per_bin=max_point_per_bin,
         )
-        if model_axis is not None:
-            # local (b * N_l + p) -> global (b * N + shard * N_l + p)
-            shard = jax.lax.axis_index(model_axis)
+        if src_shard is not None:
+            # local (b * N_l + p) -> global (b * N + src_shard * N_l + p)
             valid = sel_idx >= 0
             b_of = sel_idx // N_l
             p_of = sel_idx % N_l
-            g_idx = b_of * N + shard * N_l + p_of
+            g_idx = b_of * N + src_shard * N_l + p_of
             sel_idx = jnp.where(valid, g_idx, -1)
+        return sel_idx, sel_len, sel_act, sel_dsd
+
+    def _merge2(a, b, K):
+        """Keep the K nearest of two per-pixel K-lists (ring-step fold)."""
+        cat = [jnp.concatenate([x, y], axis=-1) for x, y in zip(a, b)]
+        g_idx, g_len, g_act, g_dsd = cat
+        valid = g_idx >= 0
+        len_masked = jnp.where(valid, g_len, _SENTINEL_LEN)
+        neg_vals, args = jax.lax.top_k(-len_masked, K)
+        ok = jnp.take_along_axis(valid, args, axis=-1)
+        return (
+            jnp.where(ok, jnp.take_along_axis(g_idx, args, axis=-1), -1),
+            jnp.where(ok, -neg_vals, _SENTINEL_LEN),
+            jnp.where(ok, jnp.take_along_axis(g_act, args, -1), _SENTINEL_ACT),
+            jnp.where(ok, jnp.take_along_axis(g_dsd, args, -1), 0.0),
+        )
+
+    def local_render(verts_l, sigmas_l, R_l, T_l, f_l, p_l):
+        if model_axis is not None and ring:
+            # Ring decomposition (the ring-attention structure): the model
+            # axis shards the PIXEL ROWS (queries) — this chip renders rows
+            # [my*H_l, (my+1)*H_l), realized by shifting the principal
+            # point — while Gaussian BLOCKS (the KV analog) rotate around
+            # the axis with ppermute.  Per-pixel state stays K wide, block
+            # transfer is ICI neighbor traffic, and after m steps this
+            # chip's rows have been reduced over every Gaussian.
+            my = jax.lax.axis_index(model_axis)
+            H_l = image_size[0] // m_size
+            shift = jnp.stack(
+                [jnp.zeros_like(p_l[:, 0]),
+                 jnp.full_like(p_l[:, 1], 1.0) * (my * H_l)], axis=-1,
+            )
+            p_rows = p_l - shift
+            sub_size = (H_l, image_size[1])
+            blk_v, blk_s = verts_l, sigmas_l
+            run = None
+            perm = [(i, (i + 1) % m_size) for i in range(m_size)]
+            for s in range(m_size):
+                src = (my - s) % m_size
+                sel = _select_block(
+                    blk_v, blk_s, R_l, T_l, f_l, p_rows, src,
+                    size=sub_size,
+                )
+                run = sel if run is None else _merge2(run, sel, max_assign)
+                if s < m_size - 1:
+                    blk_v = jax.lax.ppermute(blk_v, model_axis, perm)
+                    blk_s = jax.lax.ppermute(blk_s, model_axis, perm)
+            sel_idx, sel_len, sel_act, sel_dsd = run
+        elif model_axis is not None:
+            shard = jax.lax.axis_index(model_axis)
+            sel_idx, sel_len, sel_act, sel_dsd = _select_block(
+                verts_l, sigmas_l, R_l, T_l, f_l, p_l, shard
+            )
             sel_idx, sel_len, sel_act, sel_dsd = _merge_topk(
                 sel_idx, sel_len, sel_act, sel_dsd, max_assign, model_axis
+            )
+        else:
+            sel_idx, sel_len, sel_act, sel_dsd = _select_block(
+                verts_l, sigmas_l, R_l, T_l, f_l, p_l, None
             )
         # Fix batch offset to the *global* camera index so fragment indices
         # match the single-chip renderer.
         if d_size > 1:
             dshard = jax.lax.axis_index(data_axis)
             valid = sel_idx >= 0
-            sel_idx = jnp.where(valid, sel_idx + dshard * B_l * N, -1)
+            sel_idx = jnp.where(
+                valid, sel_idx + dshard * R_l.shape[0] * N, -1
+            )
         vert_weight, _, valid_num, _ = aggregation(
             sel_idx=sel_idx, sel_act=sel_act, sel_len=sel_len,
             sel_dsd=sel_dsd, occupation_weight=absorptivity,
@@ -161,6 +236,15 @@ def render_pipeline_sharded(
 
     model_spec = P(model_axis) if model_axis else P()
     model_spec33 = P(model_axis, None, None) if model_axis else P()
+    if ring and model_axis is not None:
+        # pixel rows sharded over the model axis (dim 1 of (B, H, W, ...))
+        assert image_size[0] % m_size == 0, (
+            f"image height {image_size[0]} not divisible by model axis "
+            f"size {m_size} (required for ring=True)"
+        )
+        out_spec = P(data_axis, model_axis)
+    else:
+        out_spec = P(data_axis)
     out = jax.shard_map(
         local_render,
         mesh=mesh,
@@ -169,7 +253,7 @@ def render_pipeline_sharded(
             model_spec33,
             P(data_axis), P(data_axis), P(data_axis), P(data_axis),
         ),
-        out_specs=(P(data_axis), P(data_axis), P(data_axis), P(data_axis)),
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
         check_vma=False,
     )(verts, sigmas, R, T, focal, principal)
     vert_weight, sel_idx, valid_num, sel_len = out
