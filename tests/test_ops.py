@@ -179,6 +179,108 @@ def test_coarse_bins_match_reference_ndc_oracle(rng):
     np.testing.assert_array_equal(mine, oracle)
 
 
+@pytest.mark.parametrize("case", ["plain", "big", "batch"])
+def test_emit_supertile_matches_overlap_mask(case):
+    # local generator: keep the shared session rng stream unchanged for
+    # the scene-sensitive tests downstream
+    rng = np.random.RandomState(1234)
+    """The emission-sorted coarse stage must reproduce the dense
+    ``overlap_mask`` membership exactly: same per-supertile candidate sets
+    (ascending index), same per-sub-bin bits, exact counts and overflow."""
+    B = 2 if case == "batch" else 1
+    H, W, P, thr, bin_size = 33, 47, 60, 0.01, 10
+    mus, isig = _scene(rng, P=P, seed_spread=0.8)
+    # x100: keep pixel footprints below the 3-supertile window so the
+    # plain/batch cases exercise the pure local-emission path
+    isig = isig * 100.0
+    if case == "big":
+        # one Gaussian with a huge pixel footprint -> oversize/global path
+        isig = isig.at[7].set(jnp.eye(3) * 5e-4)
+    R, T, focal, principal = _camera(B)
+    _, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = jnp.broadcast_to(mus[None], (B, P, 3)) - origins[:, None, :]
+    isig_b = jnp.broadcast_to(isig[None], (B, P, 3, 3))
+
+    mask = np.asarray(coarse.overlap_mask(
+        R, T, focal, principal, mus_cam, isig_b, (H, W), thr, bin_size
+    ))                                                       # (B, BH, BW, P)
+    BH, BW = (H - 1) // bin_size + 1, (W - 1) // bin_size + 1
+    BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
+    M_max = 64
+    pos_c, bits_c, ids_c, counts_c, overflow_c = jax.tree.map(
+        np.asarray,
+        coarse.emit_supertile_candidates(
+            R, T, focal, principal, mus_cam, isig_b, (H, W), thr,
+            bin_size, M_max,
+        ),
+    )
+    assert pos_c.shape == (B * BH2 * BW2, M_max)
+    for bimg in range(B):
+        for sy in range(BH2):
+            for sx in range(BW2):
+                s = (bimg * BH2 + sy) * BW2 + sx
+                want_bits = {}
+                for p in range(P):
+                    bits = 0
+                    for i in range(2):
+                        for j in range(2):
+                            by, bx = 2 * sy + i, 2 * sx + j
+                            if by < BH and bx < BW and mask[bimg, by, bx, p]:
+                                bits |= 1 << (2 * i + j)
+                    if bits:
+                        want_bits[p] = bits
+                want = sorted(want_bits)
+                n = int(counts_c[s])
+                # every wanted member present with exact bits; extra (global
+                # or padded-bin) entries must carry bits == 0 (inert)
+                for t in range(n):
+                    p = int(pos_c[s, t])
+                    gb = int(bits_c[s, t, 0])
+                    if p in want_bits:
+                        assert gb == want_bits[p], (s, p)
+                    else:
+                        assert gb == 0, (s, p, gb)
+                    assert int(ids_c[s, t, 0]) == bimg * P + p
+                present = {int(pos_c[s, t]) for t in range(n)}
+                assert set(want).issubset(present)
+                assert int(overflow_c[s]) == 0
+                if case != "big":
+                    # without globals the rows are pure local emissions:
+                    # ascending index (reference insertion order), no big
+                    # surplus beyond padded-bin-only entries
+                    got = [int(p) for p in pos_c[s, :n]]
+                    assert got == sorted(got)
+    # padding rows are inert
+    assert (bits_c[np.arange(M_max)[None, :] >= counts_c[:, None]] == 0).all()
+
+
+def test_emit_supertile_overflow_counts():
+    rng = np.random.RandomState(4321)
+    """Members beyond M_max are dropped deterministically and counted."""
+    H, W, P, thr, bin_size = 33, 47, 60, 0.01, 10
+    mus, isig = _scene(rng, P=P, seed_spread=0.1)  # clustered -> dense bins
+    R, T, focal, principal = _camera(1)
+    _, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = mus[None] - origins[:, None, :]
+    isig_b = isig[None]
+    full = jax.tree.map(np.asarray, coarse.emit_supertile_candidates(
+        R, T, focal, principal, mus_cam, isig_b, (H, W), thr, bin_size, 64
+    ))
+    capped = jax.tree.map(np.asarray, coarse.emit_supertile_candidates(
+        R, T, focal, principal, mus_cam, isig_b, (H, W), thr, bin_size, 8
+    ))
+    n_full, n_cap = full[3], capped[3]
+    assert (n_cap <= 8).all()
+    np.testing.assert_array_equal(
+        capped[4], np.maximum(n_full + full[4] - 8, 0)
+    )
+    # kept entries are the lowest-index prefix of the full rows
+    for s in range(n_cap.shape[0]):
+        np.testing.assert_array_equal(
+            capped[0][s, : n_cap[s]], full[0][s, : n_cap[s]]
+        )
+
+
 def test_fine_coarse_mostly_matches_no_coarse(rng):
     """The binned path equals the no-coarse path wherever the bbox culling
     (a reference-faithful *approximation*) retained every selected kernel;

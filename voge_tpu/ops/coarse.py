@@ -193,6 +193,157 @@ def rasterize_coarse(
     return bin_points
 
 
+def emit_supertile_candidates(
+    R: jax.Array, T: jax.Array, focal: jax.Array, principal: jax.Array,
+    points: jax.Array, isigmas: jax.Array, image_size: Tuple[int, int],
+    thr: float, bin_size: int, M_max: int, n_globals: int = 64,
+):
+    """Per-supertile compacted candidate lists via duplicate-key emission.
+
+    The TPU-native analog of the CUDA coarse binner's per-Gaussian bbox walk
+    (``rasterize_coarse.cu:111-185``): instead of materializing the dense
+    (bins, P) overlap mask and argsort-compacting it (O(bins*P) work — the
+    round-1 design), every Gaussian *emits* up to 9 (supertile, index) keys
+    for the 3x3 supertile window covering its pixel-space bbox; one flat
+    sort of the ~9P keys groups them by supertile, and fixed-capacity rows
+    are sliced out of the sorted stream.  Membership bits per 2x2 sub-bin
+    are recomputed exactly from the same float comparisons ``overlap_mask``
+    uses, so the resulting candidate sets are identical (see
+    ``tests/test_ops.py::test_emit_supertile_matches_overlap_mask``).
+
+    Gaussians whose bbox spans more than the 3-supertile window (rare: a
+    pixel radius above ~1.5 supertiles, or z ~ 0 blowing the projected
+    radius up to the whole screen) go to a per-image *global* list (capacity
+    ``n_globals``) appended to every supertile's row — over-inclusion is
+    harmless because the exact per-bin bits gate the fine kernel.
+
+    Ordering within a supertile is ascending Gaussian index — the
+    reference's insertion order for its fine-stage tie-break
+    (``RayTracing.py:22-26`` builds candidate lists in index order; the CUDA
+    atomics only randomize it).
+
+    :param points: (B, P, 3) camera-centered means; :param isigmas: (B, P, 3, 3)
+    :param M_max: static per-supertile row capacity (multiple of the select
+        kernel's cand_chunk)
+    :return: (pos_c (nb, M_max) int32 per-image candidate positions,
+        bits_c (nb, M_max, 1) int32 sub-bin membership bitfields,
+        ids_c (nb, M_max, 1) int32 global flattened original ids (-1 pad),
+        counts_c (nb,) int32 row occupancy,
+        overflow_c (nb,) int32 members dropped beyond capacity)
+        with nb = B * BH2 * BW2 supertile rows (2x2-bin supertiles).
+    """
+    B, P = points.shape[0], points.shape[1]
+    H, W = int(image_size[0]), int(image_size[1])
+    b = int(bin_size)
+    BH = (H - 1) // b + 1
+    BW = (W - 1) // b + 1
+    BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
+    nst = BH2 * BW2
+    nb = B * nst
+    st = 2.0 * b
+
+    points = jax.lax.stop_gradient(points)
+    isigmas = jax.lax.stop_gradient(isigmas)
+    u, v, z = _camera_planes(R, T, focal, principal, points)
+    rx, ry = _pixel_radii_planes(R, focal, isigmas, thr, z)
+    keep = ~(z < 0)
+
+    # conservative integer supertile window [f0, f0 + w) per axis:
+    # floor((u-rx)/st) - 1 <= true lo and floor((u+rx)/st) >= true hi
+    def _window(c, r):
+        lo = (c - r) / st
+        hi = (c + r) / st
+        fin = jnp.isfinite(lo) & jnp.isfinite(hi)
+        f0 = jnp.where(fin, jnp.floor(jnp.where(fin, lo, 0.0)), 0.0)
+        f1 = jnp.where(fin, jnp.floor(jnp.where(fin, hi, 0.0)), -2.0)
+        f0 = jnp.clip(f0, -2.0**30, 2.0**30).astype(jnp.int32) - 1
+        w = jnp.clip(f1, -2.0**30, 2.0**30).astype(jnp.int32) - f0 + 1
+        return f0, w, fin
+
+    fx0, wx, finx = _window(u, rx)
+    fy0, wy, finy = _window(v, ry)
+    oversize = keep & ((~finx) | (~finy) | (wx > 3) | (wy > 3))
+
+    dx = jnp.arange(9, dtype=jnp.int32) % 3                   # (9,)
+    dy = jnp.arange(9, dtype=jnp.int32) // 3
+    sx = fx0[..., None] + dx                                  # (B, P, 9)
+    sy = fy0[..., None] + dy
+    sxf = sx.astype(points.dtype) * st
+    syf = sy.astype(points.dtype) * st
+    # exact supertile overlap = OR of its two bins' tests (identical float
+    # comparisons as overlap_mask; equivalence holds because r >= 0)
+    xo = ((u - rx)[..., None] <= sxf + st) & (sxf < (u + rx)[..., None])
+    yo = ((v - ry)[..., None] <= syf + st) & (syf < (v + ry)[..., None])
+    valid = (
+        keep[..., None] & (~oversize)[..., None]
+        & (dx < wx[..., None]) & (dy < wy[..., None])
+        & (sx >= 0) & (sx < BW2) & (sy >= 0) & (sy < BH2)
+        & xo & yo
+    )
+
+    n_globals = min(int(n_globals), P)
+    S = 1 << max(int(P - 1).bit_length(), 1)                  # per-image idx range
+    big = nb * S                                              # > any valid key
+    kdt = jnp.int32 if big < 2**31 - 1 else jnp.int64
+    img = jnp.arange(B, dtype=kdt)[:, None, None]
+    s_gid = img * nst + (sy * BW2 + sx).astype(kdt)
+    idx = jnp.arange(P, dtype=kdt)[None, :, None]
+    kv = jnp.where(valid, s_gid * S + idx, jnp.array(big, kdt))
+    flat = jnp.sort(kv.reshape(-1))
+    tot = flat.shape[0]
+    edges = jnp.arange(nb + 1, dtype=kdt) * S
+    starts = jnp.searchsorted(flat, edges, side="left").astype(jnp.int32)
+    counts_full = starts[1:] - starts[:-1]                    # (nb,)
+
+    # per-image global (oversize) list, ascending index
+    is_g = keep & oversize
+    gpos = jnp.argsort(~is_g, axis=1, stable=True)[:, :n_globals].astype(jnp.int32)
+    g_full = is_g.sum(axis=1).astype(jnp.int32)               # (B,)
+    g_cnt = jnp.minimum(g_full, n_globals)
+    g_over = g_full - g_cnt
+
+    img_row = jnp.arange(nb, dtype=jnp.int32)[:, None] // nst  # (nb, 1)
+    lc = jnp.minimum(counts_full, M_max)[:, None]             # local rows used
+    n_comb = counts_full + g_cnt[img_row[:, 0]]
+    counts_c = jnp.minimum(n_comb, M_max)
+    overflow_c = n_comb - counts_c + g_over[img_row[:, 0]]
+
+    iota_t = jnp.arange(M_max, dtype=jnp.int32)[None]         # (1, M_max)
+    fpos = jnp.clip(starts[:-1, None] + iota_t, 0, tot - 1)
+    pos_local = (flat[fpos] % S).astype(jnp.int32)
+    gidx_t = jnp.clip(iota_t - lc, 0, n_globals - 1)
+    pos_global = jnp.take_along_axis(
+        gpos[img_row[:, 0]], gidx_t, axis=1
+    )
+    valid_t = iota_t < counts_c[:, None]
+    pos_c = jnp.where(
+        valid_t, jnp.where(iota_t < lc, pos_local, pos_global), 0
+    )
+
+    # exact per-(2x2 sub-bin) membership bits, same comparisons as
+    # overlap_mask + _group_supertiles + pack_membership_bits (bit = 2i + j
+    # for y sub-bin i, x sub-bin j)
+    def _at(plane):
+        return plane.reshape(-1)[img_row * P + pos_c]
+    uu, vv, rxx, ryy = _at(u), _at(v), _at(rx), _at(ry)
+    srow = jnp.arange(nb, dtype=jnp.int32)[:, None] % nst
+    sx_r = (srow % BW2).astype(points.dtype)
+    sy_r = (srow // BW2).astype(points.dtype)
+    bits = jnp.zeros(pos_c.shape, jnp.int32)
+    fb = float(b)
+    for i in range(2):
+        byi = (2.0 * sy_r + i) * fb
+        yo_i = ((vv - ryy) <= byi + fb) & (byi < vv + ryy) & (2.0 * sy_r + i < BH)
+        for j in range(2):
+            bxj = (2.0 * sx_r + j) * fb
+            xo_j = ((uu - rxx) <= bxj + fb) & (bxj < uu + rxx) & (2.0 * sx_r + j < BW)
+            bits = bits | ((yo_i & xo_j).astype(jnp.int32) << (2 * i + j))
+    bits_c = jnp.where(valid_t, bits, 0)
+    ids_c = jnp.where(valid_t, img_row * P + pos_c, -1)
+    return (pos_c, bits_c[:, :, None], ids_c[:, :, None],
+            counts_c.astype(jnp.int32), overflow_c.astype(jnp.int32))
+
+
 def convert_to_box(isigmas: jax.Array, thr: float, z: jax.Array, matrix: jax.Array) -> jax.Array:
     """NDC-space box half-extents; literal port of ``RayTracing.py:33-39``
     for API parity / tests (planes math, no batched tiny matmuls).

@@ -760,6 +760,110 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, res, g):
 _rt_fine_kern.defvjp(_rt_fine_kern_fwd, _rt_fine_kern_bwd)
 
 
+def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
+                          counts_c, thr_act, bin_size, K):
+    """Primal for the pre-compacted fine selection: gather the candidate
+    feature table by ``pos_c`` and run the streaming select kernel.  Returns
+    (sel4 kernel-layout, residual tensors)."""
+    from voge_tpu.ops.pallas_fine2 import (
+        fine_select_compact_pallas,
+        prefix_visit_lists,
+    )
+
+    B, P = mus.shape[0], mus.shape[1]
+    _, H, W, _ = rays.shape
+    bsh, bsw = bin_size
+    BH = (H - 1) // bsh + 1
+    BW = (W - 1) // bsw + 1
+    nb, M_max = pos_c.shape
+    nst = nb // B
+    cc = _pick_cand_chunk(P)
+    cc_align = max(cc, _pick_cand_chunk_bwd(P))
+    P_pad = _ceil_to(max(P, cc_align), cc_align)
+
+    gauss_feat = _gauss_feature_planes_batched(mus, isigmas)
+    if P_pad > P:
+        gauss_feat = jnp.pad(gauss_feat, ((0, 0), (0, 0), (0, P_pad - P)))
+    table = jnp.swapaxes(gauss_feat, 1, 2).reshape(B * P_pad, FEAT)
+    img_row = jnp.arange(nb, dtype=jnp.int32)[:, None] // nst
+    table_c = table[(img_row * P_pad + pos_c).reshape(-1)].reshape(
+        nb, M_max, FEAT
+    )
+
+    rays_feat, _R, _R_pad = _rays_features(rays, BH, BW, bsh, bsw)
+    rf_k, _, _ = _group_supertiles(rays_feat, B, BH, BW)
+    rays_t = jnp.swapaxes(rf_k, 1, 2)
+    csel, cnts = prefix_visit_lists(counts_c, M_max, cc)
+    sel = fine_select_compact_pallas(
+        rays_t, table_c, bits_c, ids_c, csel, cnts, thr_act, K,
+        sub_bins=4, ray_chunk=rf_k.shape[1], cand_chunk=cc,
+        per_bin_cand=True,
+    )
+    return sel, (rf_k, table_c)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
+                    thr_act, bin_size, K):
+    """Fine selection over emission-compacted candidates (KERNEL layout).
+
+    The coarse stage (``emit_supertile_candidates``) runs *outside* this
+    custom-VJP boundary — it is discrete selection, non-differentiable by
+    construction (like the reference's ``_RasterizeCoarse``,
+    ``RayTracing.py:147-151``); gradients flow through the gathered feature
+    table only."""
+    return _rt_fine_compact_impl(
+        mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
+        bin_size, K,
+    )[0]
+
+
+def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
+                        thr_act, bin_size, K):
+    sel, saved = _rt_fine_compact_impl(
+        mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
+        bin_size, K,
+    )
+    rf_k, table_c = saved
+    res = (mus, isigmas, rays, sel[0], pos_c, bits_c, ids_c, counts_c,
+           rf_k, table_c)
+    return sel, res
+
+
+def _rt_fine_kern_c_bwd(thr_act, bin_size, K, res, g):
+    from voge_tpu.ops.pallas_bwd import fine_bwd_compact_pallas
+
+    (mus, isigmas, rays, sel_idx_k, pos_c, bits_c, ids_c, counts_c,
+     rf_k, table_c) = res
+    _, g_len_k, g_act_k, g_dsd_k = g
+    B, P = mus.shape[0], mus.shape[1]
+    _, H, W, _ = rays.shape
+    bsh, bsw = bin_size
+    BH = (H - 1) // bsh + 1
+    BW = (W - 1) // bsw + 1
+    M_max = table_c.shape[1]
+    cc_opts = [c for c in (1024, 512, 256, 128) if M_max % c == 0]
+    cc = max(cc_opts) if cc_opts else M_max
+    cc_align = max(_pick_cand_chunk(P), _pick_cand_chunk_bwd(P))
+    P_pad = _ceil_to(max(P, cc_align), cc_align)
+    gg, rb = fine_bwd_compact_pallas(
+        rf_k, table_c, ids_c, pos_c, counts_c,
+        sel_idx_k, g_len_k, g_act_k, g_dsd_k,
+        K=K, B=B, P_pad=P_pad, ray_chunk=rf_k.shape[1], cand_chunk=cc,
+    )
+    grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
+    grad_isg = jnp.stack(
+        [gg[:, 3 + q, :P] for q in range(9)], axis=-1
+    ).reshape(B, P, 3, 3)
+    grad_rays = unbin_kern(rb[..., 0:3], B, BH, BW, H, W, bsh, bsw, True)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    return (grad_mus, grad_isg, grad_rays,
+            f0(pos_c), f0(bits_c), f0(ids_c), f0(counts_c))
+
+
+_rt_fine_kern_c.defvjp(_rt_fine_kern_c_fwd, _rt_fine_kern_c_bwd)
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -854,7 +958,51 @@ def ray_tracing(
         overflow = jnp.maximum(counts - mppb, 0).astype(jnp.int32)
         return sel, dict(overflow=overflow)
     else:
-        from voge_tpu.ops.coarse import overlap_mask
+        from voge_tpu.ops.coarse import (
+            emit_supertile_candidates,
+            overlap_mask,
+        )
+
+        m_min = int(max_points_per_bin) if (
+            max_points_per_bin is not None and max_points_per_bin > 0
+        ) else 0
+        BH = (H - 1) // bin_size_cfg + 1
+        BW = (W - 1) // bin_size_cfg + 1
+        grouped = _is_grouped(BH, BW)
+        cc = _pick_cand_chunk(P)
+        cc_align = max(cc, _pick_cand_chunk_bwd(P))
+        P_pad = _ceil_to(max(P, cc_align), cc_align)
+        bh_bw = ((BH + 1) // 2) * ((BW + 1) // 2) if grouped else BH * BW
+        M_max = _pick_m_max(P_pad, bh_bw, cc, m_min)
+        if grouped and 2 * M_max < P_pad:
+            # Emission-compacted coarse stage: one flat ~9P-key sort builds
+            # the per-supertile candidate rows directly — no (bins, P) mask,
+            # no per-bin argsort (those cost ~4.6 ms of the round-1 10K
+            # forward's 5.9; see emit_supertile_candidates).  Candidate
+            # order is ascending original index, so no permutation context.
+            pos_c, bits_c, ids_c, counts_c, overflow_c = (
+                emit_supertile_candidates(
+                    R, T, focal, principal, points, isigmas, (H, W), thr,
+                    bin_size_cfg, M_max,
+                )
+            )
+            sel_k = _rt_fine_kern_c(
+                points, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
+                float(thr_act), (bin_size_cfg, bin_size_cfg), int(n_assign),
+            )
+            if not return_ctx:
+                return tuple(
+                    unbin_kern(x, B, BH, BW, H, W, bin_size_cfg,
+                               bin_size_cfg, True)
+                    for x in sel_k
+                )
+            ctx = dict(
+                ids_c=ids_c, pos_c=pos_c, counts_c=counts_c,
+                overflow=overflow_c, perm=None,
+                geom=(B, H, W, BH, BW, bin_size_cfg, bin_size_cfg, True,
+                      bh_bw, pos_c.shape[1], P, P_pad, "c"),
+            )
+            return sel_k, ctx
 
         # Bin-coherent candidate ordering: sort Gaussians by the Morton code
         # of their projected supertile so each supertile's candidates cluster
