@@ -231,25 +231,16 @@ def test_emit_supertile_matches_overlap_mask(case):
                         want_bits[p] = bits
                 want = sorted(want_bits)
                 n = int(counts_c[s])
-                # every wanted member present with exact bits; extra (global
-                # or padded-bin) entries must carry bits == 0 (inert)
+                # exact membership: rows ARE the overlap-mask member set in
+                # ascending index order (reference insertion order), exact
+                # bits, no inert entries (globals sort in like locals)
+                got = [int(p) for p in pos_c[s, :n]]
+                assert got == want, (s, got, want)
                 for t in range(n):
-                    p = int(pos_c[s, t])
-                    gb = int(bits_c[s, t, 0])
-                    if p in want_bits:
-                        assert gb == want_bits[p], (s, p)
-                    else:
-                        assert gb == 0, (s, p, gb)
+                    p = got[t]
+                    assert int(bits_c[s, t, 0]) == want_bits[p], (s, p)
                     assert int(ids_c[s, t, 0]) == bimg * P + p
-                present = {int(pos_c[s, t]) for t in range(n)}
-                assert set(want).issubset(present)
                 assert int(overflow_c[s]) == 0
-                if case != "big":
-                    # without globals the rows are pure local emissions:
-                    # ascending index (reference insertion order), no big
-                    # surplus beyond padded-bin-only entries
-                    got = [int(p) for p in pos_c[s, :n]]
-                    assert got == sorted(got)
     # padding rows are inert
     assert (bits_c[np.arange(M_max)[None, :] >= counts_c[:, None]] == 0).all()
 

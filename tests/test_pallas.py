@@ -320,3 +320,64 @@ def test_bin_coherent_sorting_parity(rng):
         np.sort(np.asarray(sel_s[0]), axis=-1),
         np.sort(np.asarray(sel_id[0]), axis=-1),
     )
+
+
+def test_erf32_matches_lax_erf():
+    """The in-kernel rational erf (Mosaic has no erf lowering) tracks
+    ``jax.lax.erf`` to ~5e-7 over the clipped [-4, 4] domain and saturates
+    identically outside it."""
+    from voge_tpu.ops.pallas_fine2 import _erf32
+
+    x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
+    got = np.asarray(_erf32(x))
+    want = np.asarray(jax.lax.erf(x))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert abs(float(_erf32(jnp.float32(100.0))) - 1.0) < 1e-6
+    assert abs(float(_erf32(jnp.float32(-100.0))) + 1.0) < 1e-6
+
+
+def test_mask_kernel_fused_aggregation_matches_xla(rng):
+    """agg_ow path: the kernel's 5th output (in-VMEM erf compositing over
+    the final selection) equals ``weights_from_sel`` applied to the 4-tuple
+    selection (the XLA math the renderer's separate pass used)."""
+    from voge_tpu.aggregation import weights_from_sel
+    from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
+
+    B, BHBW, R, P, K = 2, 2, 16, 300, 5
+    nb = B * BHBW
+    rays = rng.normal(size=(nb, R, 3)).astype(np.float32)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    rf = np.zeros((nb, R, FEAT), np.float32)
+    rf[:, :, 0:3] = rays
+    rf[:, :, 3:12] = (rays[:, :, :, None] * rays[:, :, None, :]).reshape(nb, R, 9)
+
+    mus = rng.uniform(-1, 1, size=(B, P, 3)).astype(np.float32)
+    a = rng.uniform(-1, 1, size=(B, P, 3, 3)).astype(np.float32)
+    lam = np.einsum("bmij,bmkj->bmik", a, a) + 2 * np.eye(3, dtype=np.float32)
+    A = np.einsum("bmji,bmj->bmi", lam, mus)
+    msm = np.einsum("bmi,bmi->bm", mus, A)
+    P_pad = 512
+    gf = np.zeros((B, FEAT, P_pad), np.float32)
+    gf[:, 0:3, :P] = A.transpose(0, 2, 1)
+    gf[:, 3, :P] = msm
+    gf[:, 4:13, :P] = lam.reshape(B, P, 9).transpose(0, 2, 1)
+
+    mask = (rng.rand(nb, P_pad) < 0.6).astype(np.int8)
+    mask[:, P:] = 0
+    ids = _identity_ids(B, P, P_pad)
+
+    ow = 0.7
+    out = fine_select_mask_pallas(
+        jnp.asarray(rf), jnp.asarray(gf), jnp.asarray(mask)[:, None, :], ids,
+        4.0, K, bh_bw=BHBW, n_gauss=P, ray_chunk=8, cand_chunk=128,
+        interpret=True, agg_ow=ow,
+    )
+    assert len(out) == 5
+    want = weights_from_sel(out[1], out[2], out[3], ow)
+    np.testing.assert_allclose(
+        np.asarray(out[4]), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+    # empty slots must carry zero weight
+    np.testing.assert_array_equal(
+        np.asarray(out[4])[np.asarray(out[0]) < 0], 0.0
+    )

@@ -64,6 +64,21 @@ def assign2weight(
     return weight * _E_HALF
 
 
+def weights_from_sel(
+    sel_len: jax.Array, sel_act: jax.Array, sel_dsd: jax.Array,
+    occupation_weight: float = 1.0,
+) -> jax.Array:
+    """Per-slot compositing weights from (length, activation, dsd) alone —
+    the differentiable core of :func:`aggregation` (reference
+    ``Aggregation.py:30-79``).  Used as the reference math (and VJP) for the
+    kernel-fused aggregation path in :mod:`voge_tpu.ops.pallas_fine2`."""
+    ca = get_cross_activation(sel_length=sel_len, sel_dsd=sel_dsd)
+    return assign2weight(
+        sel_activation=sel_act, cross_activation=ca,
+        occupation_weight=occupation_weight,
+    )
+
+
 def aggregation(
     sel_idx: jax.Array, sel_act: jax.Array, sel_len: jax.Array,
     sel_dsd: jax.Array, occupation_weight: float = 1.0,

@@ -203,19 +203,23 @@ def emit_supertile_candidates(
     The TPU-native analog of the CUDA coarse binner's per-Gaussian bbox walk
     (``rasterize_coarse.cu:111-185``): instead of materializing the dense
     (bins, P) overlap mask and argsort-compacting it (O(bins*P) work — the
-    round-1 design), every Gaussian *emits* up to 9 (supertile, index) keys
-    for the 3x3 supertile window covering its pixel-space bbox; one flat
-    sort of the ~9P keys groups them by supertile, and fixed-capacity rows
-    are sliced out of the sorted stream.  Membership bits per 2x2 sub-bin
-    are recomputed exactly from the same float comparisons ``overlap_mask``
-    uses, so the resulting candidate sets are identical (see
-    ``tests/test_ops.py::test_emit_supertile_matches_overlap_mask``).
+    round-1 design), every Gaussian *emits* up to 9 (supertile, index, bits)
+    keys for the 3x3 supertile window covering its pixel-space bbox; one
+    flat sort of the ~9P keys groups them by supertile, and fixed-capacity
+    rows are sliced out of the sorted stream.  The per-2x2-sub-bin
+    membership bits are computed AT EMISSION (the same float comparisons
+    ``overlap_mask`` uses) and ride in the key's low 4 bits — the sliced
+    rows decode position and bits arithmetically, with no per-element
+    gathers (gathering u/v/rx/ry back by ``pos_c`` cost ~3 ms at 10K; TPU
+    element gathers are slow).  Candidate sets are identical to the mask
+    path (``tests/test_ops.py::test_emit_supertile_matches_overlap_mask``).
 
     Gaussians whose bbox spans more than the 3-supertile window (rare: a
     pixel radius above ~1.5 supertiles, or z ~ 0 blowing the projected
-    radius up to the whole screen) go to a per-image *global* list (capacity
-    ``n_globals``) appended to every supertile's row — over-inclusion is
-    harmless because the exact per-bin bits gate the fine kernel.
+    radius up to the whole screen) are *global*: the first ``n_globals``
+    of them (ascending index) emit one key per overlapped supertile, so
+    they sort into the rows like any local member (exact bits, exact
+    insertion order).  Globals beyond the cap are dropped and counted.
 
     Ordering within a supertile is ascending Gaussian index — the
     reference's insertion order for its fine-stage tie-break
@@ -235,6 +239,7 @@ def emit_supertile_candidates(
     B, P = points.shape[0], points.shape[1]
     H, W = int(image_size[0]), int(image_size[1])
     b = int(bin_size)
+    fb = float(b)
     BH = (H - 1) // b + 1
     BW = (W - 1) // b + 1
     BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
@@ -248,8 +253,9 @@ def emit_supertile_candidates(
     rx, ry = _pixel_radii_planes(R, focal, isigmas, thr, z)
     keep = ~(z < 0)
 
-    # conservative integer supertile window [f0, f0 + w) per axis:
-    # floor((u-rx)/st) - 1 <= true lo and floor((u+rx)/st) >= true hi
+    # conservative integer supertile window [f0, f0 + 3) per axis:
+    # floor((u-rx)/st) - 1 <= lowest overlapped supertile and
+    # floor((u+rx)/st) >= highest; span > 3 supertiles -> global
     def _window(c, r):
         lo = (c - r) / st
         hi = (c + r) / st
@@ -264,81 +270,90 @@ def emit_supertile_candidates(
     fy0, wy, finy = _window(v, ry)
     oversize = keep & ((~finx) | (~finy) | (wx > 3) | (wy > 3))
 
+    def _bits(uu, vv, rxx, ryy, sxf, syf):
+        """Exact 2x2 sub-bin membership bits for supertile pixel origin
+        (sxf, syf): bit 2i+j for y sub-bin i, x sub-bin j — the identical
+        comparisons as ``overlap_mask`` restricted to in-grid bins."""
+        lo_u, hi_u = uu - rxx, uu + rxx
+        lo_v, hi_v = vv - ryy, vv + ryy
+        bits = None
+        for i in range(2):
+            byi = syf + i * fb
+            yo_i = (lo_v <= byi + fb) & (byi < hi_v) & (byi < H)
+            for j in range(2):
+                bxj = sxf + j * fb
+                xo_j = (lo_u <= bxj + fb) & (bxj < hi_u) & (bxj < W)
+                t = (yo_i & xo_j).astype(jnp.int32) << (2 * i + j)
+                bits = t if bits is None else bits | t
+        return bits
+
     dx = jnp.arange(9, dtype=jnp.int32) % 3                   # (9,)
     dy = jnp.arange(9, dtype=jnp.int32) // 3
     sx = fx0[..., None] + dx                                  # (B, P, 9)
     sy = fy0[..., None] + dy
     sxf = sx.astype(points.dtype) * st
     syf = sy.astype(points.dtype) * st
-    # exact supertile overlap = OR of its two bins' tests (identical float
-    # comparisons as overlap_mask; equivalence holds because r >= 0)
-    xo = ((u - rx)[..., None] <= sxf + st) & (sxf < (u + rx)[..., None])
-    yo = ((v - ry)[..., None] <= syf + st) & (syf < (v + ry)[..., None])
+    bits_l = _bits(u[..., None], v[..., None], rx[..., None], ry[..., None],
+                   sxf, syf)                                  # (B, P, 9)
     valid = (
         keep[..., None] & (~oversize)[..., None]
-        & (dx < wx[..., None]) & (dy < wy[..., None])
         & (sx >= 0) & (sx < BW2) & (sy >= 0) & (sy < BH2)
-        & xo & yo
+        & (bits_l != 0)
     )
 
+    # Global (oversize) members: first n_globals ascending-index; each emits
+    # one key per supertile it actually overlaps (exact bits gate).
     n_globals = min(int(n_globals), P)
+    is_g = keep & oversize
+    idx_i32 = jnp.arange(P, dtype=jnp.int32)[None, :]
+    g_take = jnp.minimum(
+        -jax.lax.top_k(-jnp.where(is_g, idx_i32, P), n_globals)[0], P
+    )                                                          # (B, n_globals)
+    g_valid = g_take < P
+    gpos = jnp.where(g_valid, g_take, 0)
+    ga = lambda p: jnp.take_along_axis(p, gpos, axis=1)[..., None]
+    sx_all = (jnp.arange(nst, dtype=jnp.int32) % BW2)          # (nst,)
+    sy_all = (jnp.arange(nst, dtype=jnp.int32) // BW2)
+    bits_g = _bits(ga(u), ga(v), ga(rx), ga(ry),
+                   sx_all.astype(points.dtype) * st,
+                   sy_all.astype(points.dtype) * st)           # (B, ng, nst)
+    valid_g = g_valid[..., None] & (bits_g != 0)
+    g_full = is_g.sum(axis=1).astype(jnp.int32)                # (B,)
+    g_over = jnp.maximum(g_full - n_globals, 0)
+
+    # key = ((img*nst + supertile) * S + index) * 16 + bits; invalid -> big.
+    # Sorting groups by supertile with ascending index (bits are a no-op
+    # tie-break: each (supertile, index) pair occurs at most once).
     S = 1 << max(int(P - 1).bit_length(), 1)                  # per-image idx range
-    big = nb * S                                              # > any valid key
+    big = nb * S * 16                                         # > any valid key
     kdt = jnp.int32 if big < 2**31 - 1 else jnp.int64
     img = jnp.arange(B, dtype=kdt)[:, None, None]
     s_gid = img * nst + (sy * BW2 + sx).astype(kdt)
     idx = jnp.arange(P, dtype=kdt)[None, :, None]
-    kv = jnp.where(valid, s_gid * S + idx, jnp.array(big, kdt))
-    flat = jnp.sort(kv.reshape(-1))
+    kv = jnp.where(valid, (s_gid * S + idx) * 16 + bits_l.astype(kdt),
+                   jnp.array(big, kdt))
+    s_gid_g = img * nst + jnp.arange(nst, dtype=kdt)[None, None, :]
+    kv_g = jnp.where(
+        valid_g,
+        (s_gid_g * S + gpos.astype(kdt)[..., None]) * 16 + bits_g.astype(kdt),
+        jnp.array(big, kdt),
+    )
+    flat = jnp.sort(jnp.concatenate([kv.reshape(-1), kv_g.reshape(-1)]))
     tot = flat.shape[0]
-    edges = jnp.arange(nb + 1, dtype=kdt) * S
+    edges = jnp.arange(nb + 1, dtype=kdt) * (S * 16)
     starts = jnp.searchsorted(flat, edges, side="left").astype(jnp.int32)
     counts_full = starts[1:] - starts[:-1]                    # (nb,)
 
-    # per-image global (oversize) list, ascending index
-    is_g = keep & oversize
-    gpos = jnp.argsort(~is_g, axis=1, stable=True)[:, :n_globals].astype(jnp.int32)
-    g_full = is_g.sum(axis=1).astype(jnp.int32)               # (B,)
-    g_cnt = jnp.minimum(g_full, n_globals)
-    g_over = g_full - g_cnt
-
     img_row = jnp.arange(nb, dtype=jnp.int32)[:, None] // nst  # (nb, 1)
-    lc = jnp.minimum(counts_full, M_max)[:, None]             # local rows used
-    n_comb = counts_full + g_cnt[img_row[:, 0]]
-    counts_c = jnp.minimum(n_comb, M_max)
-    overflow_c = n_comb - counts_c + g_over[img_row[:, 0]]
+    counts_c = jnp.minimum(counts_full, M_max)
+    overflow_c = counts_full - counts_c + g_over[img_row[:, 0]]
 
     iota_t = jnp.arange(M_max, dtype=jnp.int32)[None]         # (1, M_max)
     fpos = jnp.clip(starts[:-1, None] + iota_t, 0, tot - 1)
-    pos_local = (flat[fpos] % S).astype(jnp.int32)
-    gidx_t = jnp.clip(iota_t - lc, 0, n_globals - 1)
-    pos_global = jnp.take_along_axis(
-        gpos[img_row[:, 0]], gidx_t, axis=1
-    )
+    rows = flat[fpos]                                         # (nb, M_max)
     valid_t = iota_t < counts_c[:, None]
-    pos_c = jnp.where(
-        valid_t, jnp.where(iota_t < lc, pos_local, pos_global), 0
-    )
-
-    # exact per-(2x2 sub-bin) membership bits, same comparisons as
-    # overlap_mask + _group_supertiles + pack_membership_bits (bit = 2i + j
-    # for y sub-bin i, x sub-bin j)
-    def _at(plane):
-        return plane.reshape(-1)[img_row * P + pos_c]
-    uu, vv, rxx, ryy = _at(u), _at(v), _at(rx), _at(ry)
-    srow = jnp.arange(nb, dtype=jnp.int32)[:, None] % nst
-    sx_r = (srow % BW2).astype(points.dtype)
-    sy_r = (srow // BW2).astype(points.dtype)
-    bits = jnp.zeros(pos_c.shape, jnp.int32)
-    fb = float(b)
-    for i in range(2):
-        byi = (2.0 * sy_r + i) * fb
-        yo_i = ((vv - ryy) <= byi + fb) & (byi < vv + ryy) & (2.0 * sy_r + i < BH)
-        for j in range(2):
-            bxj = (2.0 * sx_r + j) * fb
-            xo_j = ((uu - rxx) <= bxj + fb) & (bxj < uu + rxx) & (2.0 * sx_r + j < BW)
-            bits = bits | ((yo_i & xo_j).astype(jnp.int32) << (2 * i + j))
-    bits_c = jnp.where(valid_t, bits, 0)
+    pos_c = jnp.where(valid_t, ((rows // 16) % S).astype(jnp.int32), 0)
+    bits_c = jnp.where(valid_t, (rows % 16).astype(jnp.int32), 0)
     ids_c = jnp.where(valid_t, img_row * P + pos_c, -1)
     return (pos_c, bits_c[:, :, None], ids_c[:, :, None],
             counts_c.astype(jnp.int32), overflow_c.astype(jnp.int32))

@@ -497,9 +497,11 @@ def _pick_cand_chunk_bwd(P: int) -> int:
     return 1024
 
 
-def _mask_path_select_kern(prep, thr_act, K):
+def _mask_path_select_kern(prep, thr_act, K, agg_ow=None):
     """Selection in KERNEL layout (grouped supertiles on TPU): returns the
-    4-tuple (sel_idx, sel_len, sel_act, sel_dsd), each (nst, R_kern, K)."""
+    4-tuple (sel_idx, sel_len, sel_act, sel_dsd), each (nst, R_kern, K) —
+    plus the fused erf-compositing weights as a 5th element when ``agg_ow``
+    is set (in-kernel on TPU, XLA math on the fallback)."""
     from voge_tpu.ops.pallas_fine2 import (
         fine_select_compact_pallas,
         prefix_visit_lists,
@@ -514,7 +516,7 @@ def _mask_path_select_kern(prep, thr_act, K):
         return fine_select_compact_pallas(
             p["rays_t"], p["table_c"], p["bits_c"], p["ids_c"], csel, counts,
             thr_act, K, sub_bins=G, ray_chunk=p["rc"],
-            cand_chunk=p["cand_chunk"], per_bin_cand=True,
+            cand_chunk=p["cand_chunk"], per_bin_cand=True, agg_ow=agg_ow,
         )
     if p["use_pallas"]:
         from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
@@ -522,12 +524,17 @@ def _mask_path_select_kern(prep, thr_act, K):
         return fine_select_mask_pallas(
             p["rf_k"], p["gauss_feat"], p["mask_k"], p["ids_p"], thr_act, K,
             bh_bw=p["bh_bw"], n_gauss=p["P"], ray_chunk=p["rc"],
-            cand_chunk=p["cand_chunk"],
+            cand_chunk=p["cand_chunk"], agg_ow=agg_ow,
         )
-    return _xla_select_mask(
+    sel = _xla_select_mask(
         p["rf_k"], p["gauss_feat"], p["mask_k"][:, 0, :], p["ids_p"],
         thr_act, K, p["bh_bw"], p["P"],
     )
+    if agg_ow is not None:
+        from voge_tpu.aggregation import weights_from_sel
+
+        sel = sel + (weights_from_sel(sel[1], sel[2], sel[3], agg_ow),)
+    return sel
 
 
 def unbin_kern(x, B, BH, BW, H, W, bsh, bsw, grouped):
@@ -541,20 +548,41 @@ def _is_grouped(BH, BW):
     return jax.default_backend() == "tpu" and BH * BW > 1
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fold_weight_cotangent(g, sel_lad, agg_ow):
+    """Fold the fused-aggregation weight cotangent into the selection
+    cotangents: dL/dw flows into (len, act, dsd) through the erf
+    compositing math (the exact XLA formulation, rematerialized from the
+    saved selection primals — the same recompute ``jax.checkpoint`` did
+    when aggregation ran as a separate XLA pass)."""
+    from voge_tpu.aggregation import weights_from_sel
+
+    sel_len, sel_act, sel_dsd = sel_lad
+    g_idx, g_len, g_act, g_dsd, g_w = g
+    _, vjp = jax.vjp(
+        lambda l, a, d: weights_from_sel(l, a, d, agg_ow),
+        sel_len, sel_act, sel_dsd,
+    )
+    dl, da, dd = vjp(g_w)
+    return (g_idx, g_len + dl, g_act + da, g_dsd + dd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
-                  m_min=0):
+                  m_min=0, agg_ow=None):
     """Fine selection with the custom-VJP boundary at KERNEL layout: callers
     (renderer) run aggregation in this layout and unbin once for Fragments,
-    so backward cotangents arrive without any re-binning shuffles.
+    so backward cotangents arrive without any re-binning shuffles.  With
+    ``agg_ow`` the erf compositing is fused into the select kernel and the
+    weights come back as a 5th selection element (backward folds the weight
+    cotangent into the analytic selection cotangents via the XLA math).
 
-    :return: (sel4, aux) — aux is the compacted candidate context
+    :return: (sel, aux) — aux is the compacted candidate context
         (ids_c, pos_c, counts_c, overflow_c) on the Pallas path (consumed by
         the fused attribute kernels; overflow_c is the per-supertile dropped
         member count), else None.
     """
     prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min)
-    sel = _mask_path_select_kern(prep, thr_act, K)
+    sel = _mask_path_select_kern(prep, thr_act, K, agg_ow)
     aux = (
         (prep["ids_c"], prep["pos_c"], prep["counts_c"], prep["overflow_c"])
         if prep.get("compact") else None
@@ -563,9 +591,9 @@ def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
 
 
 def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
-                      m_min=0):
+                      m_min=0, agg_ow=None):
     prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min)
-    out = _mask_path_select_kern(prep, thr_act, K)
+    out = _mask_path_select_kern(prep, thr_act, K, agg_ow)
     aux = (
         (prep["ids_c"], prep["pos_c"], prep["counts_c"], prep["overflow_c"])
         if prep.get("compact") else None
@@ -581,13 +609,16 @@ def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
                  prep["gauss_feat"])
     else:
         saved = None
-    return (out, aux), (mus, isigmas, rays, out[0], mask, ids, saved)
+    # fused-aggregation path: keep the selection primals for the weight VJP
+    sel_lad = tuple(out[1:4]) if agg_ow is not None else None
+    return (out, aux), (mus, isigmas, rays, out[0], mask, ids, saved, sel_lad)
 
 
-def _ray_trace_fine_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K):
+def _ray_trace_fine_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
+                         agg_ow=None):
     """Image-layout interface over :func:`_rt_fine_kern` (legacy/tests)."""
     sel_k, _aux = _rt_fine_kern(
-        mus, isigmas, rays, mask, ids, thr_act, bin_size, K, 0
+        mus, isigmas, rays, mask, ids, thr_act, bin_size, K, 0, agg_ow
     )
     B, H, W, _ = rays.shape
     _, BH, BW, _ = mask.shape
@@ -656,9 +687,11 @@ def _pick_rc(R_pad: int) -> int:
     return 8
 
 
-def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, res, g):
-    mus, isigmas, rays, sel_idx_k, mask, ids, saved = res
+def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, agg_ow, res, g):
+    mus, isigmas, rays, sel_idx_k, mask, ids, saved, sel_lad = res
     g = g[0]  # aux outputs are integer-valued (float0 cotangents)
+    if agg_ow is not None:
+        g = _fold_weight_cotangent(g, sel_lad, agg_ow)
     B, P = mus.shape[0], mus.shape[1]
     g_mask = np.zeros(mask.shape, dtype=jax.dtypes.float0)
     g_ids = np.zeros(ids.shape, dtype=jax.dtypes.float0)
@@ -761,7 +794,7 @@ _rt_fine_kern.defvjp(_rt_fine_kern_fwd, _rt_fine_kern_bwd)
 
 
 def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
-                          counts_c, thr_act, bin_size, K):
+                          counts_c, thr_act, bin_size, K, agg_ow=None):
     """Primal for the pre-compacted fine selection: gather the candidate
     feature table by ``pos_c`` and run the streaming select kernel.  Returns
     (sel4 kernel-layout, residual tensors)."""
@@ -797,14 +830,14 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
     sel = fine_select_compact_pallas(
         rays_t, table_c, bits_c, ids_c, csel, cnts, thr_act, K,
         sub_bins=4, ray_chunk=rf_k.shape[1], cand_chunk=cc,
-        per_bin_cand=True,
+        per_bin_cand=True, agg_ow=agg_ow,
     )
     return sel, (rf_k, table_c)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
-                    thr_act, bin_size, K):
+                    thr_act, bin_size, K, agg_ow=None):
     """Fine selection over emission-compacted candidates (KERNEL layout).
 
     The coarse stage (``emit_supertile_candidates``) runs *outside* this
@@ -814,27 +847,30 @@ def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
     table only."""
     return _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K,
+        bin_size, K, agg_ow,
     )[0]
 
 
 def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
-                        thr_act, bin_size, K):
+                        thr_act, bin_size, K, agg_ow=None):
     sel, saved = _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K,
+        bin_size, K, agg_ow,
     )
     rf_k, table_c = saved
+    sel_lad = tuple(sel[1:4]) if agg_ow is not None else None
     res = (mus, isigmas, rays, sel[0], pos_c, bits_c, ids_c, counts_c,
-           rf_k, table_c)
+           rf_k, table_c, sel_lad)
     return sel, res
 
 
-def _rt_fine_kern_c_bwd(thr_act, bin_size, K, res, g):
+def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, res, g):
     from voge_tpu.ops.pallas_bwd import fine_bwd_compact_pallas
 
     (mus, isigmas, rays, sel_idx_k, pos_c, bits_c, ids_c, counts_c,
-     rf_k, table_c) = res
+     rf_k, table_c, sel_lad) = res
+    if agg_ow is not None:
+        g = _fold_weight_cotangent(g, sel_lad, agg_ow)
     _, g_len_k, g_act_k, g_dsd_k = g
     B, P = mus.shape[0], mus.shape[1]
     _, H, W, _ = rays.shape
@@ -900,6 +936,7 @@ def ray_tracing(
     rays: jax.Array, image_size, thr: float, n_assign: int,
     bin_size: Optional[int] = None, max_points_per_bin: Optional[int] = None,
     return_ctx: bool = False,
+    agg_ow=None,
     **kwargs,
 ):
     """Coarse + fine dispatcher (reference ``RayTracing.py:12-30``).
@@ -909,6 +946,9 @@ def ray_tracing(
     :param points: (B, P, 3) camera-centered means
     :param isigmas: (B, P, 3, 3)
     :param rays: (B, H, W, 3)
+    :param agg_ow: occupation weight — when set, the erf compositing is
+        fused into the selection (in-kernel on TPU) and the per-slot
+        weights are returned as a 5th selection element
     """
     if isinstance(cameras_or_params, tuple):
         R, T, focal, principal = cameras_or_params
@@ -953,6 +993,12 @@ def ray_tracing(
             points.reshape(-1, 3), isigmas.reshape(-1, 3, 3), rays,
             bin_points, thr, (bin_size_cfg, bin_size_cfg), n_assign,
         )
+        if agg_ow is not None:
+            from voge_tpu.aggregation import weights_from_sel
+
+            sel = tuple(sel) + (
+                weights_from_sel(sel[1], sel[2], sel[3], agg_ow),
+            )
         if not return_ctx:
             return sel
         overflow = jnp.maximum(counts - mppb, 0).astype(jnp.int32)
@@ -989,6 +1035,7 @@ def ray_tracing(
             sel_k = _rt_fine_kern_c(
                 points, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
                 float(thr_act), (bin_size_cfg, bin_size_cfg), int(n_assign),
+                agg_ow,
             )
             if not return_ctx:
                 return tuple(
@@ -1022,7 +1069,7 @@ def ray_tracing(
     if not return_ctx:
         return _ray_trace_fine_mask(
             points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
-            int(n_assign),
+            int(n_assign), agg_ow,
         )
 
     # ctx path: KERNEL-layout selections + the compacted candidate context
@@ -1032,7 +1079,7 @@ def ray_tracing(
     ) else 0
     sel_k, aux = _rt_fine_kern(
         points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
-        int(n_assign), m_min,
+        int(n_assign), m_min, agg_ow,
     )
     _, BH, BW, _ = mask.shape
     bsh, bsw = eff_bin

@@ -43,6 +43,25 @@ _INF = 1e10
 _RUNW = 128  # running-state lane width (>= K, lane-aligned)
 
 
+def _erf32(x):
+    """f32 erf as the Eigen/XLA rational approximation x*P(x^2)/Q(x^2) on
+    [-4, 4] (max abs error ~1e-7) — Mosaic has no erf lowering; this is the
+    same polynomial XLA lowers ``lax.erf`` to on TPU, keeping the fused
+    aggregation numerically aligned with the XLA path."""
+    x = jnp.clip(x, -4.0, 4.0)
+    x2 = x * x
+    p = jnp.float32(-2.72614225801306e-10)
+    for c in (2.77068142495902e-08, -2.10102402082508e-06,
+              -5.69250639462346e-05, -7.34990630326855e-04,
+              -2.95459980854025e-03, -1.60960333262415e-02):
+        p = p * x2 + jnp.float32(c)
+    q = jnp.float32(-1.45660718464996e-05)
+    for c in (-2.13374055278905e-04, -1.68282697438203e-03,
+              -7.37332916720468e-03, -1.42647390514189e-02):
+        q = q * x2 + jnp.float32(c)
+    return (x * p) / q
+
+
 def chunk_visit_lists(mask: jax.Array, n_c: int, cand_chunk: int):
     """Per-bin occupied-chunk visit lists for scalar prefetch.
 
@@ -73,9 +92,10 @@ def _kernel_tc(
     gf_ref,     # (1, C, FEAT) f32 packed Gaussian feature table
     ids_ref,    # (1, C, 1) int32 global flattened ORIGINAL candidate ids
     rf_ref,     # (1, FEAT, R) f32 ray feature planes (G sub-bins' rays)
-    oi_ref, ol_ref, oa_ref, od_ref,   # (1, Kp, R) outputs
-    run_len, run_act, run_dsd, run_idx,  # (Kp, R) scratch
-    *, thr_act: float, K: int, chunk: int, sub_bins: int,
+    *refs,      # (1, Kp, R) outputs oi/ol/oa/od (+ow if agg_ow), then
+                # (Kp, R) scratch run_len/run_act/run_dsd/run_idx
+    thr_act: float, K: int, chunk: int, sub_bins: int,
+    agg_ow=None,
 ):
     """Transposed layout: candidates on SUBLANES, rays on LANES.
 
@@ -88,7 +108,21 @@ def _kernel_tc(
     Membership of candidate c in sub-bin g is bit g of ``bits_ref`` --
     packed so one streamed int32 column serves any sub-bin count (and, in
     the compacted-candidate path, one gather instead of G).
+
+    With ``agg_ow`` set, the erf transmittance compositing (reference
+    ``Aggregation.py:54-79``; see :mod:`voge_tpu.aggregation`) runs on the
+    final (Kp, R) selection while it sits in VMEM scratch, emitting the
+    per-slot weights as a fifth output -- the O(K^2) pairwise pass is K
+    sublane-broadcast sweeps, fused here instead of a separate XLA pass
+    over the HBM round-tripped selection.
     """
+    if agg_ow is None:
+        (oi_ref, ol_ref, oa_ref, od_ref,
+         run_len, run_act, run_dsd, run_idx) = refs
+        ow_ref = None
+    else:
+        (oi_ref, ol_ref, oa_ref, od_ref, ow_ref,
+         run_len, run_act, run_dsd, run_idx) = refs
     c = pl.program_id(2)
     n_c = pl.num_programs(2)
     b = pl.program_id(0)
@@ -185,6 +219,22 @@ def _kernel_tc(
         ol_ref[0] = run_len[:]
         oa_ref[0] = run_act[:]
         od_ref[0] = run_dsd[:]
+        if agg_ow is not None:
+            # Fused erf compositing (identical math to aggregation.py:36-64,
+            # incl. the self term, the 1e-10 sqrt stabilizer and the
+            # exp(0.5) normalization).  Invalid slots carry act = _INF so
+            # exp(-act) = 0 kills both their weight and their occlusion
+            # contribution; padding rows K..Kp likewise.
+            l = run_len[:]
+            ea = jnp.exp(-run_act[:])                       # (Kp, R)
+            sq = jnp.sqrt(run_dsd[:] + 1e-10)
+            occ = jnp.zeros_like(l)
+            for k in range(K):
+                ca = (l - l[k:k + 1, :]) * sq[k:k + 1, :]
+                occ = occ + ea[k:k + 1, :] * (
+                    0.5 * (_erf32(ca) + 1.0)
+                )
+            ow_ref[0] = jnp.exp(-float(agg_ow) * occ) * ea * 1.6487212707001282
 
 
 def fine_select_compact_pallas(
@@ -203,9 +253,12 @@ def fine_select_compact_pallas(
                             # image (NB == B, bin b reads row b // bh_bw)
     bh_bw: int = 1,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    agg_ow=None,            # float: fuse erf compositing, emit weights as a
+                            # 5th output; None: selection only
+) -> Tuple[jax.Array, ...]:
     """Streaming top-K selection over a (possibly per-supertile-compacted)
-    candidate table; returns ray-major (nb, R_pad, K) selections."""
+    candidate table; returns ray-major (nb, R_pad, K) selections (plus
+    fused aggregation weights when ``agg_ow`` is set)."""
     nb, _, R_pad = rays_t.shape
     C_total = table.shape[1]
     assert R_pad % ray_chunk == 0 and C_total % cand_chunk == 0
@@ -230,13 +283,12 @@ def fine_select_compact_pallas(
     kernel = functools.partial(
         _kernel_tc, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
         sub_bins=int(sub_bins),
+        agg_ow=None if agg_ow is None else float(agg_ow),
     )
-    out_shapes = [
-        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.int32),
-        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
-        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
-        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32),
-    ]
+    n_out = 4 if agg_ow is None else 5
+    out_shapes = [jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.int32)] + [
+        jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32)
+    ] * (n_out - 1)
     out_spec = pl.BlockSpec(
         (1, Kp, ray_chunk), lambda b, r, c, cs, ct: (b, 0, r),
         memory_space=pltpu.VMEM,
@@ -252,7 +304,7 @@ def fine_select_compact_pallas(
                          lambda b, r, c, cs, ct: (b, 0, r),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * 4,
+        out_specs=[out_spec] * n_out,
         scratch_shapes=[
             pltpu.VMEM((Kp, ray_chunk), jnp.float32),
             pltpu.VMEM((Kp, ray_chunk), jnp.float32),
@@ -347,7 +399,8 @@ def fine_select_mask_pallas(
     ray_chunk: int,
     cand_chunk: int = 512,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    agg_ow=None,
+) -> Tuple[jax.Array, ...]:
     nb, R_pad, _ = rays_feat.shape
     P_pad = gauss_feat.shape[2]
     assert mask.ndim == 3
@@ -366,4 +419,5 @@ def fine_select_mask_pallas(
         rays_t, table, bits, ids_t, csel, counts, thr_act, K,
         sub_bins=G, ray_chunk=ray_chunk, cand_chunk=cand_chunk,
         per_bin_cand=False, bh_bw=bh_bw, interpret=interpret,
+        agg_ow=agg_ow,
     )

@@ -211,22 +211,25 @@ def render_pipeline(
         (R, T, focal, principal), verts_transformed, isigma, rays,
         image_size, thr=thr_activation, n_assign=max_assign,
         bin_size=bin_size, max_points_per_bin=max_point_per_bin,
-        return_ctx=True,
+        return_ctx=True, agg_ow=float(absorptivity),
     )
-    sel_idx, sel_len, sel_act, sel_dsd = sel
-
-    # O(K^2) erf compositing: rematerialized in backward to avoid storing
-    # the [pixels, K, K] cross matrix.  With a ctx, ``sel`` is in KERNEL
-    # layout: aggregation runs there (it is elementwise over pixels), so the
-    # fused attribute kernels get the bin-layout weights for free and the
-    # fine VJP receives its cotangents without re-binning shuffles.
-    agg = jax.checkpoint(
-        lambda i, a, l, d: aggregation(
-            sel_idx=i, sel_act=a, sel_len=l, sel_dsd=d,
-            occupation_weight=absorptivity,
-        )[0]
-    )
-    vert_weight = agg(sel_idx, sel_act, sel_len, sel_dsd)
+    if len(sel) == 5:
+        # O(K^2) erf compositing fused into the selection kernel (TPU) or
+        # the selection custom-VJP (fallback); backward rematerializes the
+        # cross matrix from the selection primals either way.  With a ctx,
+        # ``sel`` is in KERNEL layout, so the fused attribute kernels get
+        # the bin-layout weights for free and the fine VJP receives its
+        # cotangents without re-binning shuffles.
+        sel_idx, sel_len, sel_act, sel_dsd, vert_weight = sel
+    else:
+        sel_idx, sel_len, sel_act, sel_dsd = sel
+        agg = jax.checkpoint(
+            lambda i, a, l, d: aggregation(
+                sel_idx=i, sel_act=a, sel_len=l, sel_dsd=d,
+                occupation_weight=absorptivity,
+            )[0]
+        )
+        vert_weight = agg(sel_idx, sel_act, sel_len, sel_dsd)
 
     if ctx is None or "geom" not in ctx:
         # image-layout selections (no-ctx paths); overflow from the coarse
