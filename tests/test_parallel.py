@@ -160,6 +160,71 @@ def test_sharded_render_gradients_match():
         )
 
 
+def test_sharded_render_binned_matches_single_device():
+    """The coarse-BINNED path (emission-sorted supertile compaction) under
+    shard_map: per-shard binning + top-K merge must match the single-device
+    binned renderer.  ``max_point_per_bin`` is raised so neither side
+    overflows its supertile capacity (overflow legitimately differs: each
+    model shard bins only its own Gaussians, so the sharded render drops
+    *fewer* candidates than a capacity-limited single-device render)."""
+    from voge_tpu.renderer import get_overflow_points
+
+    g, R, T, focal, principal = _scene_and_cams(B=8, N=800)
+    N = g.verts.shape[0]
+    Np = ((N + 7) // 8) * 8
+    verts = jnp.pad(g.verts, ((0, Np - N), (0, 0)), constant_values=100.0)
+    sigmas = jnp.pad(g.sigmas, ((0, Np - N),), constant_values=1.0)
+    kwargs = dict(image_size=(64, 64), max_assign=8, max_point_per_bin=3000)
+
+    frag_1 = render_pipeline(verts, sigmas, R, T, focal, principal, **kwargs)
+    assert int(get_overflow_points(frag_1)) == 0
+
+    mesh = make_mesh(("data", "model"), (2, 4))
+    frag_s = render_pipeline_sharded(
+        verts, sigmas, R, T, focal, principal, mesh=mesh, **kwargs
+    )
+    i1 = np.asarray(frag_1.vert_index)
+    i2 = np.asarray(frag_s.vert_index)
+    assert (i1 != i2).mean() < 1e-3
+    exact = (i1 == i2).all(axis=-1)
+    assert exact.mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(frag_s.vert_weight)[exact],
+        np.asarray(frag_1.vert_weight)[exact],
+        rtol=1e-4, atol=5e-5,
+    )
+
+
+@pytest.mark.slow
+def test_sharded_render_binned_gradients_match():
+    """Gradients through the binned (coarse compaction) sharded path match
+    the single-device binned renderer."""
+    g, R, T, focal, principal = _scene_and_cams(B=2, N=800)
+    N = g.verts.shape[0]
+    Np = ((N + 7) // 8) * 8
+    verts = jnp.pad(g.verts, ((0, Np - N), (0, 0)), constant_values=100.0)
+    sigmas = jnp.pad(g.sigmas, ((0, Np - N),), constant_values=1.0)
+    kwargs = dict(image_size=(64, 64), max_assign=8, max_point_per_bin=3000)
+    mesh = make_mesh(("data", "model"), (2, 4))
+
+    def loss_single(v, s):
+        f = render_pipeline(v, s, R, T, focal, principal, **kwargs)
+        return jnp.sum(f.vert_weight ** 2)
+
+    def loss_sharded(v, s):
+        f = render_pipeline_sharded(
+            v, s, R, T, focal, principal, mesh=mesh, **kwargs
+        )
+        return jnp.sum(f.vert_weight ** 2)
+
+    g1 = jax.grad(loss_single, argnums=(0, 1))(verts, sigmas)
+    g2 = jax.grad(loss_sharded, argnums=(0, 1))(verts, sigmas)
+    for a, b in zip(g2, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=4e-3, atol=4e-3
+        )
+
+
 def test_ring_sharded_render_matches_single_device():
     """ring=True (pixel rows sharded over the model axis, Gaussian blocks
     rotating via ppermute) must match the single-device renderer like the
