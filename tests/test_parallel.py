@@ -160,6 +160,31 @@ def test_sharded_render_gradients_match():
         )
 
 
+def test_sharded_render_replicated_scene_matches_single_device():
+    """Pure camera-axis DP (``model_axis=None``, scene replicated): this
+    branch composites via the fused-aggregation selection path (in-kernel
+    on TPU, XLA ``weights_from_sel`` on CPU) and must match the
+    single-device renderer."""
+    g, R, T, focal, principal = _scene_and_cams(B=8)
+    verts, sigmas = jnp.asarray(g.verts), jnp.asarray(g.sigmas)
+    kwargs = dict(image_size=(64, 64), max_assign=8, max_point_per_bin=-1)
+    frag_1 = render_pipeline(verts, sigmas, R, T, focal, principal, **kwargs)
+    mesh = make_mesh(("data",), (8,))
+    frag_s = render_pipeline_sharded(
+        verts, sigmas, R, T, focal, principal, mesh=mesh, model_axis=None,
+        **kwargs
+    )
+    i1 = np.asarray(frag_1.vert_index)
+    i2 = np.asarray(frag_s.vert_index)
+    assert (i1 != i2).mean() < 1e-3
+    exact = (i1 == i2).all(axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(frag_s.vert_weight)[exact],
+        np.asarray(frag_1.vert_weight)[exact],
+        rtol=1e-4, atol=5e-5,
+    )
+
+
 def test_sharded_render_binned_matches_single_device():
     """The coarse-BINNED path (emission-sorted supertile compaction) under
     shard_map: per-shard binning + top-K merge must match the single-device

@@ -134,10 +134,13 @@ def render_pipeline_sharded(
     axes = ([model_axis] if model_axis else [])
 
     def _select_block(verts_l, sigmas_l, R_l, T_l, f_l, p_l, src_shard,
-                      size=None):
+                      size=None, agg_ow=None):
         """Selection of one Gaussian block for the local cameras; returns
         K-lists with indices mapped to the global (b * N + n) space using
-        the block's origin shard."""
+        the block's origin shard.  ``agg_ow`` (scene-replicated case only)
+        fuses the erf compositing into the selection and appends the
+        per-slot weights — valid only when this block is the WHOLE scene,
+        since compositing must run on the merged selection."""
         size = image_size if size is None else size
         B_l = R_l.shape[0]
         N_l = verts_l.shape[0]
@@ -148,11 +151,17 @@ def render_pipeline_sharded(
         from voge_tpu.utils import inv3x3
 
         isig = 2.0 * inv3x3(sig) if inverse_sigma else 2.0 * sig
-        sel_idx, sel_len, sel_act, sel_dsd = ray_tracing(
+        sel = ray_tracing(
             (R_l, T_l, f_l, p_l), verts_t, isig, rays, size,
             thr=thr_activation, n_assign=max_assign,
             bin_size=bin_size, max_points_per_bin=max_point_per_bin,
+            agg_ow=agg_ow,
         )
+        if agg_ow is not None:
+            sel_idx, sel_len, sel_act, sel_dsd, w = sel
+            assert src_shard is None
+            return sel_idx, sel_len, sel_act, sel_dsd, w
+        sel_idx, sel_len, sel_act, sel_dsd = sel
         if src_shard is not None:
             # local (b * N_l + p) -> global (b * N + src_shard * N_l + p)
             valid = sel_idx >= 0
@@ -217,8 +226,13 @@ def render_pipeline_sharded(
                 sel_idx, sel_len, sel_act, sel_dsd, max_assign, model_axis
             )
         else:
-            sel_idx, sel_len, sel_act, sel_dsd = _select_block(
-                verts_l, sigmas_l, R_l, T_l, f_l, p_l, None
+            # Scene replicated: the per-chip selection IS the final one, so
+            # the erf compositing fuses into the selection (in-kernel on
+            # TPU).  The model-sharded branches above must composite on the
+            # MERGED selection instead (weights are not mergeable).
+            sel_idx, sel_len, sel_act, sel_dsd, vert_weight = _select_block(
+                verts_l, sigmas_l, R_l, T_l, f_l, p_l, None,
+                agg_ow=float(absorptivity),
             )
         # Fix batch offset to the *global* camera index so fragment indices
         # match the single-chip renderer.
@@ -228,10 +242,12 @@ def render_pipeline_sharded(
             sel_idx = jnp.where(
                 valid, sel_idx + dshard * R_l.shape[0] * N, -1
             )
-        vert_weight, _, valid_num, _ = aggregation(
-            sel_idx=sel_idx, sel_act=sel_act, sel_len=sel_len,
-            sel_dsd=sel_dsd, occupation_weight=absorptivity,
-        )
+        if model_axis is not None:
+            vert_weight, _, _, _ = aggregation(
+                sel_idx=sel_idx, sel_act=sel_act, sel_len=sel_len,
+                sel_dsd=sel_dsd, occupation_weight=absorptivity,
+            )
+        valid_num = jnp.sum(sel_idx >= 0, axis=-1)
         return vert_weight, sel_idx, valid_num, sel_len
 
     model_spec = P(model_axis) if model_axis else P()
