@@ -179,7 +179,10 @@ def test_coarse_bins_match_reference_ndc_oracle(rng):
     np.testing.assert_array_equal(mine, oracle)
 
 
-@pytest.mark.parametrize("case", ["plain", "big", "batch"])
+@pytest.mark.parametrize("case", [
+    "plain", "big",
+    pytest.param("batch", marks=pytest.mark.slow),
+])
 def test_emit_supertile_matches_overlap_mask(case):
     # local generator: keep the shared session rng stream unchanged for
     # the scene-sensitive tests downstream
@@ -272,6 +275,7 @@ def test_emit_supertile_overflow_counts():
         )
 
 
+@pytest.mark.slow
 def test_fine_coarse_mostly_matches_no_coarse(rng):
     """The binned path equals the no-coarse path wherever the bbox culling
     (a reference-faithful *approximation*) retained every selected kernel;
@@ -334,6 +338,7 @@ def _fine_pipeline_loss(mus, isig, rays4, bin_points, thr, K):
     return jnp.sum(jnp.sin(w))
 
 
+@pytest.mark.slow
 def test_custom_vjp_matches_autodiff_of_dense(rng):
     """The analytic backward of the fine op must equal jax.grad through the
     dense jnp formulation (the key gradient-correctness test)."""

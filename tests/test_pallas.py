@@ -1,5 +1,6 @@
 """Pallas fine-selection kernel vs the XLA fallback (interpret mode)."""
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 import jax  # noqa
@@ -112,6 +113,7 @@ def test_mask_kernel_matches_xla(rng):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_bwd_kernels_match_xla_bwd(rng):
     """Pallas backward kernels (interpret mode) vs the XLA entry-space
     backward on a small scene."""

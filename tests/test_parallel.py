@@ -69,8 +69,10 @@ def _scene_and_cams(B=8, N=160):
 
 @pytest.mark.parametrize("mesh_shape,axes", [
     ((8, 1), ("data", "model")),
-    ((2, 4), ("data", "model")),
-    ((1, 8), ("data", "model")),
+    # model-axis shardings compile an 8-way top-K merge — minutes of XLA
+    # CPU compile each; exercised in the full (-m "") suite only
+    pytest.param((2, 4), ("data", "model"), marks=pytest.mark.slow),
+    pytest.param((1, 8), ("data", "model"), marks=pytest.mark.slow),
 ])
 def test_sharded_render_matches_single_device(mesh_shape, axes):
     """shard_map render over (data=cameras, model=Gaussians) must equal the
@@ -185,6 +187,7 @@ def test_sharded_render_replicated_scene_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_render_binned_matches_single_device():
     """The coarse-BINNED path (emission-sorted supertile compaction) under
     shard_map: per-shard binning + top-K merge must match the single-device
