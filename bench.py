@@ -65,7 +65,7 @@ def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
     # enough distinct inputs that no execution repeats one (repeat
     # inputs can be served from a relay result cache)
     args_list = [
-        (verts * (1.0 + 1e-4 * i), sigmas, colors) for i in range(25)
+        (verts * (1.0 + 1e-5 * i), sigmas, colors) for i in range(55)
     ]
     return fwd_bwd, args_list, verts.shape[0]
 
@@ -175,7 +175,7 @@ def build_texture():
             verts, sigmas, R, T, focal, principal, image_size=(256, 672),
             max_assign=80,
         )
-        feat, wsum = sample_features(frag, image)
+        feat, wsum = sample_features(frag, image, n_vert=n_vert)
         texture = feat / (1e-8 + wsum[:, None])
         return to_white_background(frag, texture)
 
@@ -242,8 +242,10 @@ def build_shapefit_iter():
 def _measure_fwdbwd(n_gauss):
     from voge_tpu.timing import measure
 
+    # the relay carries ~±0.5 ms jitter on short runs; 50 in-order
+    # executions keeps the ~10 ms headline estimate stable to ~1%
     fn, args_list, n_actual = build_fwdbwd(n_gauss)
-    t = measure(fn, args_list, n1=4, n2=20)
+    t = measure(fn, args_list, n1=5, n2=50)
     return {"t": t, "n": n_actual}
 
 
@@ -268,8 +270,12 @@ def _measure_shapefit():
     return {"t": measure(fn, args_list, n1=3, n2=12), "n": n}
 
 
-def _measure_fwdbwd_all():
-    return {"1k": _measure_fwdbwd(1000), "10k": _measure_fwdbwd(10000)}
+def _measure_fwdbwd_1k():
+    return _measure_fwdbwd(1000)
+
+
+def _measure_fwdbwd_10k():
+    return _measure_fwdbwd(10000)
 
 
 def _measure_pointcloud():
@@ -280,9 +286,15 @@ def _measure_pointcloud():
 
 
 def _in_subprocess(call: str):
-    """Run one workload in a fresh process (the relay attachment degrades
-    when several large distinct programs cycle within one process) and
-    return its parsed JSON result."""
+    """Run one workload in a fresh process and return its parsed JSON
+    result.
+
+    Strictly ONE process touches the TPU at a time: the relay attachment
+    serializes very badly under concurrent clients (a cached-compile matmul
+    takes ~50 s while another process holds an attachment), so the parent
+    must NEVER initialize jax backends — no in-process fallbacks.  On
+    timeout the child gets SIGKILL (it runs in its own session; the TPU
+    init hook installs SIG_IGN handlers that swallow SIGTERM)."""
     import os
     import subprocess
     import sys
@@ -291,12 +303,13 @@ def _in_subprocess(call: str):
         "import json, bench; print('@@'+json.dumps(bench.%s))" % call
     )
     last_err = None
-    for _ in range(2):  # one retry: compiles occasionally hang on the relay
+    for attempt in range(2):  # one retry in a fresh process
         try:
             out = subprocess.run(
                 [sys.executable, "-c", code],
-                capture_output=True, text=True, timeout=420,
+                capture_output=True, text=True, timeout=600,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
+                start_new_session=True,
             )
         except subprocess.TimeoutExpired as e:
             last_err = e
@@ -312,26 +325,38 @@ def _in_subprocess(call: str):
 
 def main():
     results = {}
-    try:
-        r = _in_subprocess("_measure_fwdbwd_all()")
-    except Exception:
-        r = _measure_fwdbwd_all()  # in-process fallback
     for key in ("1k", "10k"):
-        results[f"fwdbwd_fps_{key}"] = 1.0 / r[key]["t"]
-        results[f"fwdbwd_ms_{key}"] = r[key]["t"] * 1000
-        results[f"n_gauss_{key}"] = r[key]["n"]
+        try:
+            r = _in_subprocess(f"_measure_fwdbwd_{key}()")
+        except Exception as e:
+            results[f"fwdbwd_fps_{key}"] = f"failed: {e}"
+            continue
+        results[f"fwdbwd_fps_{key}"] = 1.0 / r["t"]
+        results[f"fwdbwd_ms_{key}"] = r["t"] * 1000
+        results[f"n_gauss_{key}"] = r["n"]
+        _write_details(results)  # incremental: partial results survive
     _aux_workloads(results)
+    _write_details(results)
 
-    with open("BENCH_DETAILS.json", "w") as f:
-        json.dump(results, f, indent=2)
-
-    value = results["fwdbwd_fps_10k"]
+    value = results.get("fwdbwd_fps_10k")
+    if not isinstance(value, float):
+        print(json.dumps({
+            "metric": "256x256_fwdbwd_frames_per_sec_10k_gaussians",
+            "value": -1, "unit": "frames/s", "vs_baseline": -1,
+            "error": str(value),
+        }))
+        return
     print(json.dumps({
         "metric": "256x256_fwdbwd_frames_per_sec_10k_gaussians",
         "value": round(value, 2),
         "unit": "frames/s",
         "vs_baseline": round(value / A100_BASELINE_FPS_10K, 3),
     }))
+
+
+def _write_details(results):
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump(results, f, indent=2)
 
 
 def _aux_workloads(results):
@@ -344,15 +369,13 @@ def _aux_workloads(results):
     ]
     for key, call, _fmt in aux_workloads:
         try:
-            try:
-                r = _in_subprocess(call)
-            except Exception:
-                r = globals()[call.split("(")[0]]()  # in-process fallback
+            r = _in_subprocess(call)
             results[key] = r["t"] * 1000
             if "n" in r:
                 results[key + "_n_gauss"] = r["n"]
         except Exception as e:  # keep the headline metric robust
             results[key] = f"failed: {e}"
+        _write_details(results)
 
 
 if __name__ == "__main__":

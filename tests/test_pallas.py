@@ -383,3 +383,45 @@ def test_mask_kernel_fused_aggregation_matches_xla(rng):
     np.testing.assert_array_equal(
         np.asarray(out[4])[np.asarray(out[0]) < 0], 0.0
     )
+
+
+def test_fold_weights_kernel_matches_xla_vjp(rng):
+    """The transposed fold backward kernel (fold_weights_pallas, interpret
+    mode) equals jax.vjp of ``weights_from_sel`` on the same selection —
+    including invalid (act = 1e10) and padding slots."""
+    from voge_tpu.aggregation import weights_from_sel
+    from voge_tpu.ops.pallas_fine2 import fold_weights_pallas
+
+    nb, R, K, Kp = 3, 24, 6, 8
+    l = rng.uniform(1, 9, (nb, R, K)).astype(np.float32)
+    a = rng.uniform(0, 4, (nb, R, K)).astype(np.float32)
+    d = rng.uniform(0.1, 50, (nb, R, K)).astype(np.float32)
+    inv = rng.rand(nb, R, K) < 0.3
+    l[inv] = 1e10
+    a[inv] = 1e10
+    d[inv] = 0.0
+    gw = rng.normal(size=(nb, R, K)).astype(np.float32)
+    ow = 1.3
+
+    w = weights_from_sel(jnp.asarray(l), jnp.asarray(a), jnp.asarray(d), ow)
+    _, vjp = jax.vjp(
+        lambda l_, a_, d_: weights_from_sel(l_, a_, d_, ow),
+        jnp.asarray(l), jnp.asarray(a), jnp.asarray(d),
+    )
+    dl0, da0, dd0 = vjp(jnp.asarray(gw))
+
+    # transposed padded inputs as the select kernel would emit them
+    def t_pad(x, fill):
+        x_t = np.swapaxes(x, 1, 2)
+        return jnp.asarray(np.concatenate(
+            [x_t, np.full((nb, Kp - K, R), fill, np.float32)], axis=1))
+
+    dl1, da1, dd1 = fold_weights_pallas(
+        t_pad(l, 1e10), t_pad(a, 1e10), t_pad(d, 0.0),
+        t_pad(np.asarray(w), 0.0), t_pad(gw, 0.0), ow, K, interpret=True,
+    )
+    for x0, x1 in [(dl0, dl1), (da0, da1), (dd0, dd1)]:
+        x1_rk = np.swapaxes(np.asarray(x1), 1, 2)[:, :, :K]
+        np.testing.assert_allclose(
+            np.asarray(x0), x1_rk, rtol=1e-4, atol=1e-5
+        )

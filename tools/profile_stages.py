@@ -3,7 +3,11 @@
 Times successively larger prefixes of the pipeline so stage costs fall out
 as differences. Run: python tools/profile_stages.py [n_gauss]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
 
 import numpy as np
 import jax
@@ -44,7 +48,9 @@ def fwd_full(verts, sigmas, colors):
     return jnp.mean((img - target) ** 2) + jnp.mean(sil ** 2)
 
 
-args_list = [(verts * (1.0 + 1e-4 * i), sigmas, colors) for i in range(8)]
+# the relay attachment carries ~±0.5 ms jitter on short runs; 65 in-order
+# executions per estimate keeps stage differences meaningful
+args_list = [(verts * (1.0 + 1e-5 * i), sigmas, colors) for i in range(70)]
 
 variants = {
     "fwd fragments only": jax.jit(frag_only),
@@ -54,7 +60,7 @@ variants = {
 }
 results = {}
 for name, fn in variants.items():
-    t = measure(fn, args_list)
+    t = measure(fn, args_list, n1=5, n2=65)
     results[name] = t * 1e3
     print(f"{name:28s} {t*1e3:8.2f} ms")
 

@@ -487,6 +487,9 @@ def _pick_cand_chunk(P: int) -> int:
     penalty, so a narrow chunk that hugs the member clusters wins.
     Measured on v5e: 256 beats 128/512/1024 at both the 10K/256^2 and
     100K/320^2 workloads (14.1 -> 7.0 ms and 101 -> 64 ms vs 1024)."""
+    import os
+    if os.environ.get("VOGE_CC"):
+        return int(os.environ["VOGE_CC"])
     return 256
 
 
@@ -494,14 +497,20 @@ def _pick_cand_chunk_bwd(P: int) -> int:
     """Chunk width for the lane-major backward / attribute kernels, whose
     per-step costs (match K-loop, column reductions, MXU contractions) favor
     wide chunks.  P_pad is always padded to the lcm of both widths."""
+    import os
+    if os.environ.get("VOGE_CCB"):
+        return int(os.environ["VOGE_CCB"])
     return 1024
 
 
-def _mask_path_select_kern(prep, thr_act, K, agg_ow=None):
+def _mask_path_select_kern(prep, thr_act, K, agg_ow=None, return_raw=False):
     """Selection in KERNEL layout (grouped supertiles on TPU): returns the
     4-tuple (sel_idx, sel_len, sel_act, sel_dsd), each (nst, R_kern, K) —
     plus the fused erf-compositing weights as a 5th element when ``agg_ow``
-    is set (in-kernel on TPU, XLA math on the fallback)."""
+    is set (in-kernel on TPU, XLA math on the fallback).  With
+    ``return_raw`` (TPU only) returns (sel, raw) where raw is the kernel's
+    native transposed (nst, Kp, R_kern) (len, act, dsd, w) buffers for the
+    fold backward."""
     from voge_tpu.ops.pallas_fine2 import (
         fine_select_compact_pallas,
         prefix_visit_lists,
@@ -517,6 +526,7 @@ def _mask_path_select_kern(prep, thr_act, K, agg_ow=None):
             p["rays_t"], p["table_c"], p["bits_c"], p["ids_c"], csel, counts,
             thr_act, K, sub_bins=G, ray_chunk=p["rc"],
             cand_chunk=p["cand_chunk"], per_bin_cand=True, agg_ow=agg_ow,
+            return_raw=return_raw,
         )
     if p["use_pallas"]:
         from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
@@ -524,7 +534,7 @@ def _mask_path_select_kern(prep, thr_act, K, agg_ow=None):
         return fine_select_mask_pallas(
             p["rf_k"], p["gauss_feat"], p["mask_k"], p["ids_p"], thr_act, K,
             bh_bw=p["bh_bw"], n_gauss=p["P"], ray_chunk=p["rc"],
-            cand_chunk=p["cand_chunk"], agg_ow=agg_ow,
+            cand_chunk=p["cand_chunk"], agg_ow=agg_ow, return_raw=return_raw,
         )
     sel = _xla_select_mask(
         p["rf_k"], p["gauss_feat"], p["mask_k"][:, 0, :], p["ids_p"],
@@ -534,6 +544,8 @@ def _mask_path_select_kern(prep, thr_act, K, agg_ow=None):
         from voge_tpu.aggregation import weights_from_sel
 
         sel = sel + (weights_from_sel(sel[1], sel[2], sel[3], agg_ow),)
+    if return_raw:
+        return sel, None
     return sel
 
 
@@ -551,13 +563,39 @@ def _is_grouped(BH, BW):
 def _fold_weight_cotangent(g, sel_lad, agg_ow):
     """Fold the fused-aggregation weight cotangent into the selection
     cotangents: dL/dw flows into (len, act, dsd) through the erf
-    compositing math (the exact XLA formulation, rematerialized from the
-    saved selection primals — the same recompute ``jax.checkpoint`` did
-    when aggregation ran as a separate XLA pass)."""
+    compositing math (``aggregation.weights_from_sel``).
+
+    Two implementations:
+      - ``sel_lad`` of 4 arrays (TPU): the select kernel's native
+        transposed (nb, Kp, R_pad) (len, act, dsd, w) buffers; the fold
+        runs as the analytic transposed Pallas kernel
+        (:func:`voge_tpu.ops.pallas_fine2.fold_weights_pallas`) with one
+        boundary transpose for g_w in and three for the deltas out — the
+        ``jax.vjp``-of-``weights_from_sel`` XLA formulation materializes
+        [..., K, K] erf/exp tensors (~2.9 ms of the 1K workload).
+      - ``sel_lad`` of 3 arrays (XLA fallback path, ray-major): the exact
+        XLA vjp, rematerialized from the saved primals (the same recompute
+        ``jax.checkpoint`` did when aggregation ran as a separate pass).
+    """
+    g_idx, g_len, g_act, g_dsd, g_w = g
+    if len(sel_lad) == 4:
+        from voge_tpu.ops.pallas_fine2 import fold_weights_pallas
+
+        l_t, a_t, d_t, w_t = sel_lad
+        K = g_len.shape[-1]
+        Kp = l_t.shape[1]
+        gw_t = jnp.swapaxes(g_w, 1, 2)
+        if Kp > K:
+            gw_t = jnp.pad(gw_t, ((0, 0), (0, Kp - K), (0, 0)))
+        dl_t, da_t, dd_t = fold_weights_pallas(
+            l_t, a_t, d_t, w_t, gw_t, float(agg_ow), K
+        )
+        t = lambda x: jnp.swapaxes(x, 1, 2)[:, :, :K]
+        return (g_idx, g_len + t(dl_t), g_act + t(da_t), g_dsd + t(dd_t))
+
     from voge_tpu.aggregation import weights_from_sel
 
     sel_len, sel_act, sel_dsd = sel_lad
-    g_idx, g_len, g_act, g_dsd, g_w = g
     _, vjp = jax.vjp(
         lambda l, a, d: weights_from_sel(l, a, d, agg_ow),
         sel_len, sel_act, sel_dsd,
@@ -593,7 +631,11 @@ def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
 def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
                       m_min=0, agg_ow=None):
     prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min)
-    out = _mask_path_select_kern(prep, thr_act, K, agg_ow)
+    want_raw = agg_ow is not None and prep["use_pallas"]
+    out = _mask_path_select_kern(prep, thr_act, K, agg_ow, return_raw=want_raw)
+    raw = None
+    if want_raw:
+        out, raw = out
     aux = (
         (prep["ids_c"], prep["pos_c"], prep["counts_c"], prep["overflow_c"])
         if prep.get("compact") else None
@@ -609,8 +651,13 @@ def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
                  prep["gauss_feat"])
     else:
         saved = None
-    # fused-aggregation path: keep the selection primals for the weight VJP
-    sel_lad = tuple(out[1:4]) if agg_ow is not None else None
+    # fused-aggregation path: keep the selection primals for the fold bwd —
+    # on TPU the kernel-native transposed (len, act, dsd, w) buffers (free
+    # aliases of the outputs), on the XLA path the ray-major (l, a, d)
+    if agg_ow is None:
+        sel_lad = None
+    else:
+        sel_lad = raw if raw is not None else tuple(out[1:4])
     return (out, aux), (mus, isigmas, rays, out[0], mask, ids, saved, sel_lad)
 
 
@@ -687,6 +734,24 @@ def _pick_rc(R_pad: int) -> int:
     return 8
 
 
+def _pick_rc_bwd(R_pad: int, K: int, cand_chunk: int) -> int:
+    """Ray-chunk width for the unified backward kernels.  The K-unrolled
+    match loop holds ~K (ray_chunk, cand_chunk) one-hot temporaries live in
+    VMEM; keep that under ~45 MB (128 MB VMEM minus I/O windows and the
+    coefficient/form arrays).  Full tile when it fits — measured fastest at
+    the 10K/256^2 workload is rc=512 (42 MB at K=20, cc=1024); K=60 at
+    400^2 OOMs beyond rc=256."""
+    budget_elems = 45_000_000 // 4
+    cap = max(64, budget_elems // max(K * cand_chunk, 1))
+    if R_pad <= cap:
+        return R_pad
+    best = 8
+    for cand in range(8, R_pad + 1, 8):
+        if R_pad % cand == 0 and cand <= cap:
+            best = cand
+    return best
+
+
 def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, agg_ow, res, g):
     mus, isigmas, rays, sel_idx_k, mask, ids, saved, sel_lad = res
     g = g[0]  # aux outputs are integer-valued (float0 cotangents)
@@ -724,7 +789,8 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, agg_ow, res, g):
             P_pad = _ceil_to(max(P, cc_align), cc_align)
             gg, rb = fine_bwd_compact_pallas(
                 rays_feat, table_c, ids_c, pos_c, counts_c, *args,
-                K=K, B=B, P_pad=P_pad, ray_chunk=rc, cand_chunk=cc,
+                K=K, B=B, P_pad=P_pad,
+                ray_chunk=_pick_rc_bwd(rc, K, cc), cand_chunk=cc,
             )
         else:
             rays_feat, mask_k, ids_p, gauss_feat = saved
@@ -733,9 +799,10 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, agg_ow, res, g):
                 bh_bw = BH2 * BW2
             else:
                 bh_bw = BH * BW
+            cc_bwd = _pick_cand_chunk_bwd(P)
             kw = dict(
                 thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
-                ray_chunk=rc, cand_chunk=_pick_cand_chunk_bwd(P),
+                ray_chunk=_pick_rc_bwd(rc, K, cc_bwd), cand_chunk=cc_bwd,
             )
             if gauss_feat.shape[2] <= _UNIFIED_BWD_MAX_PPAD:
                 gg, rb = fine_bwd_unified_pallas(
@@ -794,7 +861,8 @@ _rt_fine_kern.defvjp(_rt_fine_kern_fwd, _rt_fine_kern_bwd)
 
 
 def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
-                          counts_c, thr_act, bin_size, K, agg_ow=None):
+                          counts_c, thr_act, bin_size, K, agg_ow=None,
+                          return_raw=False):
     """Primal for the pre-compacted fine selection: gather the candidate
     feature table by ``pos_c`` and run the streaming select kernel.  Returns
     (sel4 kernel-layout, residual tensors)."""
@@ -830,8 +898,11 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
     sel = fine_select_compact_pallas(
         rays_t, table_c, bits_c, ids_c, csel, cnts, thr_act, K,
         sub_bins=4, ray_chunk=rf_k.shape[1], cand_chunk=cc,
-        per_bin_cand=True, agg_ow=agg_ow,
+        per_bin_cand=True, agg_ow=agg_ow, return_raw=return_raw,
     )
+    if return_raw:
+        sel, raw = sel
+        return sel, (rf_k, table_c), raw
     return sel, (rf_k, table_c)
 
 
@@ -853,12 +924,14 @@ def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
 
 def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
                         thr_act, bin_size, K, agg_ow=None):
-    sel, saved = _rt_fine_compact_impl(
+    want_raw = agg_ow is not None
+    out = _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K, agg_ow,
+        bin_size, K, agg_ow, return_raw=want_raw,
     )
+    sel, saved = out[0], out[1]
     rf_k, table_c = saved
-    sel_lad = tuple(sel[1:4]) if agg_ow is not None else None
+    sel_lad = out[2] if want_raw else None
     res = (mus, isigmas, rays, sel[0], pos_c, bits_c, ids_c, counts_c,
            rf_k, table_c, sel_lad)
     return sel, res
@@ -885,7 +958,8 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, res, g):
     gg, rb = fine_bwd_compact_pallas(
         rf_k, table_c, ids_c, pos_c, counts_c,
         sel_idx_k, g_len_k, g_act_k, g_dsd_k,
-        K=K, B=B, P_pad=P_pad, ray_chunk=rf_k.shape[1], cand_chunk=cc,
+        K=K, B=B, P_pad=P_pad,
+        ray_chunk=_pick_rc_bwd(rf_k.shape[1], K, cc), cand_chunk=cc,
     )
     grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
     grad_isg = jnp.stack(

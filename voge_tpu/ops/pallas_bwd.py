@@ -250,6 +250,10 @@ def _bwd_unified_call(
     (NB == nb, compacted) or per image (NB == B)."""
     nb, R_pad, _ = rays_feat.shape
     NB, _, C_total = gauss_planes.shape
+    assert R_pad % ray_chunk == 0 and C_total % cand_chunk == 0, (
+        "ray/cand chunks must divide the padded extents; a non-divisor "
+        "silently drops grid steps", R_pad, ray_chunk, C_total, cand_chunk,
+    )
     n_r = R_pad // ray_chunk
     n_c = C_total // cand_chunk
     if per_bin_cand:

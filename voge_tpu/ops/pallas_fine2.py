@@ -255,10 +255,13 @@ def fine_select_compact_pallas(
     interpret: bool = False,
     agg_ow=None,            # float: fuse erf compositing, emit weights as a
                             # 5th output; None: selection only
+    return_raw: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Streaming top-K selection over a (possibly per-supertile-compacted)
     candidate table; returns ray-major (nb, R_pad, K) selections (plus
-    fused aggregation weights when ``agg_ow`` is set)."""
+    fused aggregation weights when ``agg_ow`` is set).  With ``return_raw``
+    also returns the kernel-native (nb, Kp, R_pad) (len, act, dsd[, w])
+    buffers for the transposed fold backward."""
     nb, _, R_pad = rays_t.shape
     C_total = table.shape[1]
     assert R_pad % ray_chunk == 0 and C_total % cand_chunk == 0
@@ -322,7 +325,100 @@ def fine_select_compact_pallas(
         interpret=interpret,
     )(csel, counts, bits, table, ids_c, rays_t)
     # back to ray-major (nb, R_pad, K) for downstream consumers
-    return tuple(jnp.swapaxes(x, 1, 2)[:, :, :K] for x in out)
+    swapped = tuple(jnp.swapaxes(x, 1, 2)[:, :, :K] for x in out)
+    if return_raw:
+        # the kernel-native (nb, Kp, R_pad) buffers (len, act, dsd, weight),
+        # free aliases of the outputs above — consumed by the transposed
+        # weight-fold backward kernel (fold_weights_pallas)
+        return swapped, tuple(out[1:])
+    return swapped
+
+
+def fold_weights_pallas(
+    l_t: jax.Array,    # (nb, Kp, R_pad) f32 selection hit lengths (raw)
+    a_t: jax.Array,    # (nb, Kp, R_pad) f32 activations
+    d_t: jax.Array,    # (nb, Kp, R_pad) f32 dsd
+    w_t: jax.Array,    # (nb, Kp, R_pad) f32 fused compositing weights
+    gw_t: jax.Array,   # (nb, Kp, R_pad) f32 weight cotangent (transposed)
+    ow: float,
+    K: int,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Analytic backward of the fused erf compositing
+    (``aggregation.weights_from_sel``) in the select kernel's native
+    transposed layout — slots on sublanes, rays on lanes, so the K
+    occluder sweeps run at full 128-lane utilization and nothing
+    materializes a [..., K, K] tensor (the ``jax.vjp`` XLA formulation
+    builds ~140 MB erf/exp pairwise tensors at 256^2, K=20; measured ~2.9
+    ms of the 1K workload's 10.2 ms).
+
+      w_m  = e_m * exp(-ow * occ_m) * e^0.5,   e_m = exp(-a_m)
+      occ_m = sum_k e_k * Phi(ca_mk),  ca_mk = (l_m - l_k) * s_k
+      s_k = sqrt(d_k + 1e-10),  Phi = (erf+1)/2,  phi = exp(-x^2)/sqrt(pi)
+
+      da_m = -G_m + ow * e_m * A_m          A_m = sum_m' G_m' Phi(ca_m'm)
+      dl_m = -ow * (G_m B_m - e_m s_m C_m)  B_m = sum_k e_k phi(ca_mk) s_k
+      dd_m = -ow * e_m * D_m / (2 s_m)      C_m = sum_m' G_m' phi(ca_m'm)
+      with G_m = g_w_m * w_m                D_m = sum_m' G_m' phi(ca_m'm)
+                                                        * (l_m' - l_m)
+
+    Invalid / padding slots carry a = 1e10 (e = w = G = 0), which zeroes
+    every contribution, matching the XLA vjp to f32 epsilon.
+    """
+    nb, Kp, R_pad = l_t.shape
+    rc = R_pad if R_pad <= 512 else _largest_div(R_pad, 512)
+    n_r = R_pad // rc
+    inv_sqrt_pi = 0.5641895835477563
+
+    def _kernel(l_ref, a_ref, d_ref, w_ref, gw_ref, dl_ref, da_ref, dd_ref):
+        l = l_ref[0]
+        s = jnp.sqrt(d_ref[0] + 1e-10)
+        e = jnp.exp(-a_ref[0])
+        G = gw_ref[0] * w_ref[0]
+        B = jnp.zeros_like(l)
+        A_rows, C_rows, D_rows = [], [], []
+        for k in range(K):
+            lk = l[k : k + 1, :]
+            sk = s[k : k + 1, :]
+            ek = e[k : k + 1, :]
+            diff = l - lk
+            ca = diff * sk
+            phi = jnp.exp(-ca * ca) * inv_sqrt_pi
+            Phi = (_erf32(ca) + 1.0) * 0.5
+            A_rows.append(jnp.sum(G * Phi, axis=0, keepdims=True))
+            C_rows.append(jnp.sum(G * phi, axis=0, keepdims=True))
+            D_rows.append(jnp.sum(G * phi * diff, axis=0, keepdims=True))
+            B = B + (ek * sk) * phi
+        pad = [jnp.zeros((Kp - K, l.shape[1]), jnp.float32)] if Kp > K else []
+        A = jnp.concatenate(A_rows + pad, axis=0)
+        C = jnp.concatenate(C_rows + pad, axis=0)
+        D = jnp.concatenate(D_rows + pad, axis=0)
+        f_ow = jnp.float32(ow)
+        da_ref[0] = -G + f_ow * e * A
+        dl_ref[0] = -f_ow * (G * B - e * s * C)
+        dd_ref[0] = -f_ow * e * D * (0.5 / s)
+
+    spec = pl.BlockSpec((1, Kp, rc), lambda b, r: (b, 0, r),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _kernel,
+        grid=(nb, n_r),
+        in_specs=[spec] * 5,
+        out_specs=[spec] * 3,
+        out_shape=[jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(l_t, a_t, d_t, w_t, gw_t)
+    return tuple(out)
+
+
+def _largest_div(n: int, cap: int) -> int:
+    for c in range(cap, 7, -8):
+        if n % c == 0:
+            return c
+    return n
 
 
 def pack_membership_bits(mask: jax.Array) -> jax.Array:
@@ -400,6 +496,7 @@ def fine_select_mask_pallas(
     cand_chunk: int = 512,
     interpret: bool = False,
     agg_ow=None,
+    return_raw: bool = False,
 ) -> Tuple[jax.Array, ...]:
     nb, R_pad, _ = rays_feat.shape
     P_pad = gauss_feat.shape[2]
@@ -419,5 +516,5 @@ def fine_select_mask_pallas(
         rays_t, table, bits, ids_t, csel, counts, thr_act, K,
         sub_bins=G, ray_chunk=ray_chunk, cand_chunk=cand_chunk,
         per_bin_cand=False, bh_bw=bh_bw, interpret=interpret,
-        agg_ow=agg_ow,
+        agg_ow=agg_ow, return_raw=return_raw,
     )
