@@ -59,6 +59,20 @@ _SENTINEL_ACT = 1e10
 # budget); beyond this the XLA fallback runs.
 _PALLAS_MAX_M = 16384
 
+# Largest K the K-unrolled Pallas kernels (select extraction passes, the
+# backward/attr coefficient match loops) take on.  Mosaic keeps the per-K
+# (ray_chunk, cand_chunk) one-hot temporaries live across the unrolled
+# loop, so VMEM grows ~linearly with K: K=80 (the reference's largest real
+# workload, ExtractTexture) compiles; K=102 (EfficientCuboid's
+# max_assign=all) blows the 100 MB scoped budget.  Beyond this the dense
+# XLA formulation runs (SURVEY §7 "large-K cases should fall back to dense
+# top_k") — at select-everything K the top-K machinery buys nothing anyway.
+_PALLAS_MAX_K = 80
+
+
+def _kern_k_ok(K: int) -> bool:
+    return int(K) <= _PALLAS_MAX_K
+
 # Backward-compatible alias; the constant lives in pallas_fine (shared with
 # pallas_attr so the two dispatch thresholds cannot drift apart).
 _UNIFIED_BWD_MAX_PPAD = UNIFIED_BWD_MAX_PPAD
@@ -185,6 +199,7 @@ def _fine_forward(
     # ---- selection -------------------------------------------------------
     use_pallas = (
         jax.default_backend() == "tpu" and M_pad <= _PALLAS_MAX_M
+        and _kern_k_ok(K)
     )
     if use_pallas:
         rc = pick_ray_chunk(R_pad, M_pad)
@@ -382,11 +397,12 @@ def _fine_forward_mask(
     bin_size: Tuple[int, int],
     K: int,
 ):
-    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size)
+    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, K=K)
     return _mask_path_select(prep, thr_act, K)[0]
 
 
-def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min=0):
+def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min=0,
+                    K=None):
     """Build the kernel-ready tensors (gauss feature planes, grouped
     membership mask, ids plane, grouped ray features) plus the static
     geometry.  Shared by forward and backward so the backward can reuse the
@@ -409,7 +425,9 @@ def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min=0):
 
     rays_feat, R, R_pad = _rays_features(rays, BH, BW, bsh, bsw)
 
-    use_pallas = jax.default_backend() == "tpu"
+    use_pallas = jax.default_backend() == "tpu" and (
+        K is None or _kern_k_ok(K)
+    )
     grouped = use_pallas and BH * BW > 1
     if grouped:
         # supertile: 2x2 bins per kernel step (4x fewer grid steps; each
@@ -556,8 +574,10 @@ def unbin_kern(x, B, BH, BW, H, W, bsh, bsw, grouped):
     return _unbin(x[:, : bsh * bsw, :], B, BH, BW, H, W, bsh, bsw)
 
 
-def _is_grouped(BH, BW):
-    return jax.default_backend() == "tpu" and BH * BW > 1
+def _is_grouped(BH, BW, K):
+    return (
+        jax.default_backend() == "tpu" and BH * BW > 1 and _kern_k_ok(K)
+    )
 
 
 def _fold_weight_cotangent(g, sel_lad, agg_ow):
@@ -619,7 +639,8 @@ def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
         the fused attribute kernels; overflow_c is the per-supertile dropped
         member count), else None.
     """
-    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min)
+    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min,
+                           K=K)
     sel = _mask_path_select_kern(prep, thr_act, K, agg_ow)
     aux = (
         (prep["ids_c"], prep["pos_c"], prep["counts_c"], prep["overflow_c"])
@@ -630,7 +651,8 @@ def _rt_fine_kern(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
 
 def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
                       m_min=0, agg_ow=None):
-    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min)
+    prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min,
+                           K=K)
     want_raw = agg_ow is not None and prep["use_pallas"]
     out = _mask_path_select_kern(prep, thr_act, K, agg_ow, return_raw=want_raw)
     raw = None
@@ -670,7 +692,7 @@ def _ray_trace_fine_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
     B, H, W, _ = rays.shape
     _, BH, BW, _ = mask.shape
     bsh, bsw = bin_size
-    grouped = _is_grouped(BH, BW)
+    grouped = _is_grouped(BH, BW, K)
     return tuple(
         unbin_kern(x, B, BH, BW, H, W, bsh, bsw, grouped) for x in sel_k
     )
@@ -763,7 +785,7 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, agg_ow, res, g):
     _, BH, BW, _ = mask.shape
     bsh, bsw = bin_size
     H, W = rays.shape[1], rays.shape[2]
-    grouped = _is_grouped(BH, BW)
+    grouped = _is_grouped(BH, BW, K)
 
     if jax.default_backend() == "tpu" and saved is not None:
         from voge_tpu.ops.pallas_bwd import (
@@ -839,9 +861,10 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, agg_ow, res, g):
     g_img = (None,) + tuple(
         unbin_kern(x, B, BH, BW, H, W, bsh, bsw, grouped) for x in g[1:]
     )
-    inv = jnp.zeros((B * P,), jnp.int32).at[ids.reshape(-1)].set(
-        jnp.arange(B * P, dtype=jnp.int32)
-    )
+    # argsort inverts the permutation without a scatter: a scatter whose
+    # indices and updates share one producer (two iotas here) crashes the
+    # TPU fusion pass (scatter_emitter.cc ShouldFuseInputIntoScatter check)
+    inv = jnp.argsort(ids.reshape(-1)).astype(jnp.int32)
     sel_pos = jnp.where(sel_idx >= 0, inv[jnp.where(sel_idx >= 0, sel_idx, 0)], -1)
     grad_mus, grad_isg, grad_rays, _ = _ray_trace_fine_bwd(
         thr_act, bin_size, K,
@@ -1050,11 +1073,28 @@ def ray_tracing(
         + (jnp.arange(B, dtype=jnp.int32) * P)[:, None]
     )
     if mppb == -1:
-        mask = jnp.ones((B, 1, 1, P), dtype=jnp.int8)
-        eff_bin = (H, W)
+        # No-coarse: every Gaussian is a candidate for every pixel (the
+        # reference's all-points index tensor, RayTracing.py:22-26) — no
+        # culling, so results are independent of the bin geometry.  On TPU
+        # the all-ones mask goes over the STANDARD bin grid: a single
+        # whole-image bin makes R_pad = H*W, and the fused attribute
+        # kernels (pallas_attr) hold (R_pad, K)/(R_pad, Ca) blocks in VMEM
+        # — 128x128 no-coarse would need ~300 MB.  Binned geometry keeps
+        # every kernel at its proven block shapes; the streamed mask is
+        # all-ones so no candidate is skipped.
+        if jax.default_backend() == "tpu" and _kern_k_ok(n_assign):
+            BH = (H - 1) // bin_size_cfg + 1
+            BW = (W - 1) // bin_size_cfg + 1
+            mask = jnp.ones((B, BH, BW, P), dtype=jnp.int8)
+            eff_bin = (bin_size_cfg, bin_size_cfg)
+        else:
+            # CPU / large-K: dense XLA select over one whole-image bin
+            mask = jnp.ones((B, 1, 1, P), dtype=jnp.int8)
+            eff_bin = (H, W)
         ids, perm = base_ids, None
-    elif jax.default_backend() != "tpu":
-        # CPU/fallback with culling: the compacted-list gather path bounds
+    elif jax.default_backend() != "tpu" or not _kern_k_ok(n_assign):
+        # CPU/fallback with culling (also the TPU large-K dense dispatch):
+        # the compacted-list gather path bounds
         # the dense hit tensors at (bins, R, max_points_per_bin) instead of
         # (bins, R, P).  (Reference truncation semantics apply on overflow;
         # unlike the reference's device printf the dropped-candidate count
@@ -1088,7 +1128,7 @@ def ray_tracing(
         ) else 0
         BH = (H - 1) // bin_size_cfg + 1
         BW = (W - 1) // bin_size_cfg + 1
-        grouped = _is_grouped(BH, BW)
+        grouped = _is_grouped(BH, BW, n_assign)
         cc = _pick_cand_chunk(P)
         cc_align = max(cc, _pick_cand_chunk_bwd(P))
         P_pad = _ceil_to(max(P, cc_align), cc_align)
@@ -1157,7 +1197,7 @@ def ray_tracing(
     )
     _, BH, BW, _ = mask.shape
     bsh, bsw = eff_bin
-    grouped = _is_grouped(BH, BW)
+    grouped = _is_grouped(BH, BW, int(n_assign))
     cc_align = max(_pick_cand_chunk(P), _pick_cand_chunk_bwd(P))
     P_pad = _ceil_to(max(P, cc_align), cc_align)
     if grouped:

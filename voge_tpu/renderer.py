@@ -337,7 +337,10 @@ def interpolate_attr(fragments: Fragments, vert_attr: jax.Array) -> jax.Array:
     otherwise it falls back to the XLA ``merge_final``."""
     ctx = getattr(fragments, "attr_ctx", None)
     if ctx is not None and jax.default_backend() == "tpu":
-        return _interpolate_attr_fused(fragments, vert_attr)
+        from voge_tpu.ops.fine import _kern_k_ok
+
+        if _kern_k_ok(fragments.vert_index.shape[-1]):
+            return _interpolate_attr_fused(fragments, vert_attr)
     n_needed = int(fragments.vert_index.shape[0])
     idx = fragments.vert_index
     if (
