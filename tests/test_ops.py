@@ -394,3 +394,66 @@ def test_convert_to_box_matches_reference(ref, rng):
     np.testing.assert_allclose(
         np.asarray(boxes_jax), boxes_ref.numpy(), rtol=1e-4, atol=1e-5, equal_nan=True
     )
+
+
+def test_no_coarse_binned_mask_equals_single_bin(rng):
+    """The no-coarse math is independent of bin geometry: an all-ones
+    membership mask over the standard bin grid must reproduce the
+    single-whole-image-bin selection exactly (incl. ragged bottom/right
+    bins).  This is the property the TPU no-coarse dispatch relies on
+    (fine.ray_tracing routes -1 through the bin grid to keep the Pallas
+    kernels at their proven block shapes)."""
+    B, H, W, P, K, thr = 2, 20, 28, 40, 7, 0.01
+    mus, isig = _scene(rng, P=P)
+    R, T, focal, principal = _camera(B)
+    rays, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_b = jnp.stack([mus - origins[b] for b in range(B)])
+    isig_b = jnp.broadcast_to(isig[None], (B, P, 3, 3))
+    thr_act = -math.log(thr + 1e-10)
+    base_ids = (
+        jnp.arange(P, dtype=jnp.int32)[None, :]
+        + (jnp.arange(B, dtype=jnp.int32) * P)[:, None]
+    )
+
+    single = fine._ray_trace_fine_mask(
+        mus_b, isig_b, rays, jnp.ones((B, 1, 1, P), jnp.int8), base_ids,
+        thr_act, (H, W), K,
+    )
+    bs = 8  # 3x4 bin grid with ragged 4-row / 4-col edge bins
+    BH, BW = (H - 1) // bs + 1, (W - 1) // bs + 1
+    binned = fine._ray_trace_fine_mask(
+        mus_b, isig_b, rays, jnp.ones((B, BH, BW, P), jnp.int8), base_ids,
+        thr_act, (bs, bs), K,
+    )
+    for a, b in zip(single, binned):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_select_all_k_equals_p(rng):
+    """n_assign >= P (EfficientCuboidViaOptimization's max_assign=all,
+    reference demo :78): every passing candidate is selected, ordered by
+    hit length; parity against the dense oracle.  On TPU this K routes to
+    the dense XLA dispatch (fine._kern_k_ok)."""
+    B, H, W, P, thr = 1, 10, 12, 25, 1e-8
+    K = P  # select everything
+    assert not fine._kern_k_ok(fine._PALLAS_MAX_K + 1)
+    assert fine._kern_k_ok(fine._PALLAS_MAX_K)
+    mus, isig = _scene(rng, P=P)
+    R, T, focal, principal = _camera(B)
+    rays, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = mus - origins[0]
+    sel = fine.ray_tracing(
+        (R, T, focal, principal), mus_cam[None], isig[None], rays,
+        (H, W), thr=thr, n_assign=K, max_points_per_bin=-1,
+    )
+    hl, ha, hd = dense.ray_trace_voge_ray(mus_cam, isig, rays.reshape(-1, 3))
+    idx2, sl2, _, _ = dense._nearest_k_impl(
+        hl, ha, hd, -math.log(thr + 1e-10), K
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sel[0]).reshape(-1, K), np.asarray(idx2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sel[1]).reshape(-1, K), np.asarray(sl2), rtol=1e-5,
+        atol=1e-5
+    )
