@@ -475,11 +475,16 @@ def _pick_m_max(
 ) -> int:
     """Static per-supertile candidate capacity: ~8x the mean Gaussians per
     supertile (measured max occupancy is ~4x the mean at the benchmark
-    workloads), at least 512, at most all of them.  A user-supplied
+    workloads), at least 256, at most all of them.  A user-supplied
     ``max_point_per_bin`` acts as a lower bound (``m_min``) — the escape
     hatch for skewed scenes whose densest supertile exceeds the heuristic
-    (the dropped-member count is surfaced either way)."""
-    target = max(512, 8 * P_pad // max(bins_per_image, 1), int(m_min))
+    (the dropped-member count is surfaced either way).  The floor matters
+    for SMALL scenes: every hot kernel (select, fine backward, attribute
+    compositing) scans O(K * M_max) candidate rows per supertile, so a
+    floor near the real occupancy (256 covers the 1K-Gaussian benchmark's
+    measured max of ~125 with 2x margin) roughly halves the whole
+    pipeline vs the old 512 floor."""
+    target = max(256, 8 * P_pad // max(bins_per_image, 1), int(m_min))
     return min(P_pad, _ceil_to(target, cand_chunk))
 
 
@@ -504,11 +509,15 @@ def _pick_cand_chunk(P: int) -> int:
     (candidate-on-sublane) select kernel has no narrow-width reduction
     penalty, so a narrow chunk that hugs the member clusters wins.
     Measured on v5e: 256 beats 128/512/1024 at both the 10K/256^2 and
-    100K/320^2 workloads (14.1 -> 7.0 ms and 101 -> 64 ms vs 1024)."""
+    100K/320^2 workloads (14.1 -> 7.0 ms and 101 -> 64 ms vs 1024).  For
+    small scenes (P <= 4096) the compacted capacity M_max is itself ~256,
+    and a narrower 128-row chunk cuts the K-pass extraction height
+    (Kp + chunk) nearly 2x while the prefix visit lists still touch a
+    single chunk per supertile."""
     import os
     if os.environ.get("VOGE_CC"):
         return int(os.environ["VOGE_CC"])
-    return 256
+    return 128 if P <= 4096 else 256
 
 
 def _pick_cand_chunk_bwd(P: int) -> int:
@@ -684,10 +693,10 @@ def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
 
 
 def _ray_trace_fine_mask(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
-                         agg_ow=None):
+                         agg_ow=None, m_min=0):
     """Image-layout interface over :func:`_rt_fine_kern` (legacy/tests)."""
     sel_k, _aux = _rt_fine_kern(
-        mus, isigmas, rays, mask, ids, thr_act, bin_size, K, 0, agg_ow
+        mus, isigmas, rays, mask, ids, thr_act, bin_size, K, m_min, agg_ow
     )
     B, H, W, _ = rays.shape
     _, BH, BW, _ = mask.shape
@@ -1057,6 +1066,22 @@ def ray_tracing(
     bin_size_cfg, mppb = coarse_bin_config(
         image_size, n_assign, P, bin_size, max_points_per_bin
     )
+    if (
+        bin_size is None
+        and jax.default_backend() == "tpu"
+        and _kern_k_ok(n_assign)
+        and (P <= 4096 or mppb == -1)
+    ):
+        # TPU default geometry for small / no-coarse scenes: 16-pixel bins
+        # make each 2x2-bin supertile exactly 4*256 = 1024 lanes (the
+        # reference's bin_size=10 floor leaves 416 of 512 lanes used, a 23%
+        # per-ray tax in EVERY kernel) and quarter the grid-step count.
+        # Culling selectivity matters more than padding for big scenes
+        # (measured 10K/256^2: bin 16 is 13% slower; 1K: 35% faster), so
+        # large-P scenes keep the reference heuristic.  Results are
+        # bin-geometry independent (no truncation; see the no-coarse
+        # regression test), so this is purely a schedule choice.
+        bin_size_cfg = max(bin_size_cfg, 16)
     H, W = int(image_size[0]), int(image_size[1])
     inf = 1e10
     thr_act = -math.log(thr + 1.0 / inf)
@@ -1183,14 +1208,21 @@ def ray_tracing(
     if not return_ctx:
         return _ray_trace_fine_mask(
             points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
-            int(n_assign), agg_ow,
+            int(n_assign), agg_ow, m_min=P if mppb == -1 else 0,
         )
 
     # ctx path: KERNEL-layout selections + the compacted candidate context
-    # the fused attribute compositing kernels need (pallas_attr.py)
-    m_min = int(max_points_per_bin) if (
-        max_points_per_bin is not None and max_points_per_bin > 0
-    ) else 0
+    # the fused attribute compositing kernels need (pallas_attr.py).
+    # No-coarse (mppb == -1) means NO truncation ever: force the capacity to
+    # cover every Gaussian so _mask_path_prep can never engage per-supertile
+    # compaction (which would silently drop members past M_max — the exact
+    # failure the -1 setting exists to rule out).
+    if mppb == -1:
+        m_min = P
+    else:
+        m_min = int(max_points_per_bin) if (
+            max_points_per_bin is not None and max_points_per_bin > 0
+        ) else 0
     sel_k, aux = _rt_fine_kern(
         points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
         int(n_assign), m_min, agg_ow,
