@@ -294,6 +294,43 @@ def run_config(name, cfg, ref, skip_f64=False):
         ours_s=round(ours_s, 2), oracle_s=round(oracle_s, 2),
     )
 
+    # Control: the REFERENCE chain itself in float32 (its production dtype
+    # — the CUDA kernels are all-f32, ray_trace_voge.cu:219-247) vs the
+    # f64 truth.  If its flip fraction / pixel drift match ours, the f32
+    # envelope is inherent to the chain at this config, not an artifact of
+    # the TPU implementation; "<1e-4 vs the reference" is then bounded by
+    # the reference's own run-to-run float noise, which these columns
+    # quantify.
+    tf = lambda x: torch.tensor(np.asarray(x), dtype=torch.float32)
+    fd32 = reference_render(
+        ref, tf(cfg["verts"]), tf(sig33), tf(cfg["R"]), tf(cfg["T"]),
+        tf(cfg["focal"]), tf(cfg["principal"]), (H, W), max_assign=K,
+        max_point_per_bin=P if cfg["mppb"] != -1 else -1,
+        dtype=torch.float32,
+    )
+    img_r32 = reference_white_background(ref, fd32, tf(cfg["colors"])).numpy()
+    sil_r32 = reference_silhouette(fd32).numpy()
+    ir = fd32["vert_index"].numpy()
+    rflips = (ir != i2).any(axis=-1)
+    rd_img = np.abs(img_r32.astype(np.float64) - img_o)
+    rd_sil = np.abs(sil_r32.astype(np.float64) - sil_o)[..., None]
+    res.update(
+        ref32_flip_frac=float(rflips.mean()),
+        ref32_max_err_agree=float(
+            max(_mx(rd_img, ~rflips), _mx(rd_sil, ~rflips))
+        ),
+        ref32_max_err_flip=float(max(_mx(rd_img, rflips), _mx(rd_sil, rflips))),
+    )
+    # ours-f32 vs reference-f32 head-to-head, on pixels where both agree
+    # with the f64 selection (the only pixels where f32-vs-f32 comparison
+    # is meaningful; flipped pixels differ by selection, bounded above).
+    both = (~flips) & (~rflips)
+    dd_img = np.abs(img.astype(np.float64) - img_r32)
+    dd_sil = np.abs(sil.astype(np.float64) - sil_r32)[..., None]
+    res["max_err_vs_ref32_agree"] = float(
+        max(_mx(dd_img, both), _mx(dd_sil, both))
+    )
+
     if "sample_image" in cfg:
         from PIL import Image
         from voge_tpu.sampler import sample_features

@@ -36,6 +36,7 @@ indexing bug at ``RayTracing.py:25`` / ``ray_trace_voge.cu:185``).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Optional, Tuple, Union
 
@@ -67,7 +68,7 @@ _PALLAS_MAX_M = 16384
 # max_assign=all) blows the 100 MB scoped budget.  Beyond this the dense
 # XLA formulation runs (SURVEY §7 "large-K cases should fall back to dense
 # top_k") — at select-everything K the top-K machinery buys nothing anyway.
-_PALLAS_MAX_K = 80
+_PALLAS_MAX_K = int(os.environ.get("VOGE_TPU_MAX_KERN_K", "80"))
 
 
 def _kern_k_ok(K: int) -> bool:
