@@ -429,6 +429,33 @@ def test_no_coarse_binned_mask_equals_single_bin(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_max_kern_k_env_override(rng, monkeypatch):
+    """VOGE_TPU_MAX_KERN_K moves the Pallas-vs-dense dispatch boundary at
+    trace time (no re-import needed), and the selection is correct on both
+    sides of it (documented in Documentation.md)."""
+    monkeypatch.delenv("VOGE_TPU_MAX_KERN_K", raising=False)
+    assert fine._max_kern_k() == fine._DEFAULT_MAX_KERN_K == 80
+    monkeypatch.setenv("VOGE_TPU_MAX_KERN_K", "102")
+    assert fine._kern_k_ok(102) and not fine._kern_k_ok(103)
+    # lower the boundary below this scene's K: every kernel boundary now
+    # dispatches the dense XLA formulation; results must be unchanged
+    B, H, W, P, thr, K = 1, 10, 12, 25, 1e-3, 9
+    mus, isig = _scene(rng, P=P)
+    R, T, focal, principal = _camera(B)
+    rays, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = mus - origins[0]
+    args = ((R, T, focal, principal), mus_cam[None], isig[None], rays,
+            (H, W))
+    sel_hi = fine.ray_tracing(*args, thr=thr, n_assign=K)
+    monkeypatch.setenv("VOGE_TPU_MAX_KERN_K", "8")
+    assert not fine._kern_k_ok(K)
+    sel_lo = fine.ray_tracing(*args, thr=thr, n_assign=K)
+    for a, b in zip(sel_hi, sel_lo):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
+        )
+
+
 def test_select_all_k_equals_p(rng):
     """n_assign >= P (EfficientCuboidViaOptimization's max_assign=all,
     reference demo :78): every passing candidate is selected, ordered by
@@ -436,8 +463,8 @@ def test_select_all_k_equals_p(rng):
     the dense XLA dispatch (fine._kern_k_ok)."""
     B, H, W, P, thr = 1, 10, 12, 25, 1e-8
     K = P  # select everything
-    assert not fine._kern_k_ok(fine._PALLAS_MAX_K + 1)
-    assert fine._kern_k_ok(fine._PALLAS_MAX_K)
+    assert not fine._kern_k_ok(fine._max_kern_k() + 1)
+    assert fine._kern_k_ok(fine._max_kern_k())
     mus, isig = _scene(rng, P=P)
     R, T, focal, principal = _camera(B)
     rays, origins = camera_rays(R, T, focal, principal, (H, W))

@@ -27,6 +27,7 @@ def _random_inputs(rng, nb=3, R=16, M=256, P=40):
     cf[:, 0:3] = A.transpose(0, 2, 1)
     cf[:, 3] = msm
     cf[:, 4:13] = lam.reshape(nb, M, 9).transpose(0, 2, 1)
+    cf[:, 13:16] = mus.transpose(0, 2, 1)  # residual-act form reads mu
 
     idx = rng.randint(0, P, size=(nb, M)).astype(np.int32)
     # some invalid candidates
@@ -70,13 +71,19 @@ def _identity_ids(B, P, P_pad):
     return jnp.asarray(ids)
 
 
-def test_mask_kernel_matches_xla(rng):
-    """Streaming mask kernel (v2, interpret mode) vs the XLA mask fallback."""
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("K", [5, 40])
+def test_mask_kernel_matches_xla(rng, K):
+    """Streaming mask kernel (v2, interpret mode) vs the XLA mask fallback.
+    K=40 exercises the large-K fori_loop extraction (dynamic sublane
+    stores) instead of the python unroll."""
     import jax
     from voge_tpu.ops.fine import _xla_select_mask
     from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
 
-    B, BHBW, R, P, K = 2, 2, 16, 300, 5
+    B, BHBW, R, P = 2, 2, 16, 300
     nb = B * BHBW
     rays = rng.normal(size=(nb, R, 3)).astype(np.float32)
     rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
@@ -94,6 +101,7 @@ def test_mask_kernel_matches_xla(rng):
     gf[:, 0:3, :P] = A.transpose(0, 2, 1)
     gf[:, 3, :P] = msm
     gf[:, 4:13, :P] = lam.reshape(B, P, 9).transpose(0, 2, 1)
+    gf[:, 13:16, :P] = mus.transpose(0, 2, 1)  # residual-act form reads mu
 
     mask = (rng.rand(nb, P_pad) < 0.6).astype(np.int8)
     mask[:, P:] = 0
@@ -251,6 +259,7 @@ def test_mask_kernel_supertiled_matches_xla(rng):
     gf[:, 0:3, :P] = A.transpose(0, 2, 1)
     gf[:, 3, :P] = msm
     gf[:, 4:13, :P] = lam.reshape(B, P, 9).transpose(0, 2, 1)
+    gf[:, 13:16, :P] = mus.transpose(0, 2, 1)  # residual-act form reads mu
     gf[:, 13:16, :P] = mus.transpose(0, 2, 1)
 
     mask = (rng.rand(nb, P_pad) < 0.5).astype(np.int8)
@@ -338,14 +347,16 @@ def test_erf32_matches_lax_erf():
     assert abs(float(_erf32(jnp.float32(-100.0))) + 1.0) < 1e-6
 
 
-def test_mask_kernel_fused_aggregation_matches_xla(rng):
+@_pytest.mark.parametrize("K", [5, 40])
+def test_mask_kernel_fused_aggregation_matches_xla(rng, K):
     """agg_ow path: the kernel's 5th output (in-VMEM erf compositing over
     the final selection) equals ``weights_from_sel`` applied to the 4-tuple
-    selection (the XLA math the renderer's separate pass used)."""
+    selection (the XLA math the renderer's separate pass used).  K=40
+    exercises the fori_loop erf sweep (dynamic sublane reads)."""
     from voge_tpu.aggregation import weights_from_sel
     from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
 
-    B, BHBW, R, P, K = 2, 2, 16, 300, 5
+    B, BHBW, R, P = 2, 2, 16, 300
     nb = B * BHBW
     rays = rng.normal(size=(nb, R, 3)).astype(np.float32)
     rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
@@ -363,6 +374,7 @@ def test_mask_kernel_fused_aggregation_matches_xla(rng):
     gf[:, 0:3, :P] = A.transpose(0, 2, 1)
     gf[:, 3, :P] = msm
     gf[:, 4:13, :P] = lam.reshape(B, P, 9).transpose(0, 2, 1)
+    gf[:, 13:16, :P] = mus.transpose(0, 2, 1)  # residual-act form reads mu
 
     mask = (rng.rand(nb, P_pad) < 0.6).astype(np.int8)
     mask[:, P:] = 0
@@ -385,14 +397,16 @@ def test_mask_kernel_fused_aggregation_matches_xla(rng):
     )
 
 
-def test_fold_weights_kernel_matches_xla_vjp(rng):
+@_pytest.mark.parametrize("K,Kp", [(6, 8), (40, 40)])
+def test_fold_weights_kernel_matches_xla_vjp(rng, K, Kp):
     """The transposed fold backward kernel (fold_weights_pallas, interpret
     mode) equals jax.vjp of ``weights_from_sel`` on the same selection —
-    including invalid (act = 1e10) and padding slots."""
+    including invalid (act = 1e10) and padding slots.  K=40 exercises the
+    fori_loop sweep with scratch-row stores."""
     from voge_tpu.aggregation import weights_from_sel
     from voge_tpu.ops.pallas_fine2 import fold_weights_pallas
 
-    nb, R, K, Kp = 3, 24, 6, 8
+    nb, R = 3, 24
     l = rng.uniform(1, 9, (nb, R, K)).astype(np.float32)
     a = rng.uniform(0, 4, (nb, R, K)).astype(np.float32)
     d = rng.uniform(0.1, 50, (nb, R, K)).astype(np.float32)

@@ -94,7 +94,7 @@ def test_scatter_max_weight(rng):
 # fused (Pallas, interpret-mode) sampler vs the segment_sum formulation
 # ---------------------------------------------------------------------------
 
-def _ctx_scene(rng, B=2, H=20, W=20, P=80, K=6, bin_size=5):
+def _ctx_scene(rng, B=2, H=20, W=20, P=80, K=6, bin_size=5, sort=True):
     """Kernel-layout selection + ctx arrays, as the renderer builds them on
     TPU (mirrors tests/test_pallas_attr.py)."""
     import math
@@ -117,8 +117,14 @@ def _ctx_scene(rng, B=2, H=20, W=20, P=80, K=6, bin_size=5):
     thr_act = -math.log(0.01 + 1e-10)
     base_ids = (jnp.arange(P, dtype=jnp.int32)[None, :]
                 + (jnp.arange(B, dtype=jnp.int32) * P)[:, None])
-    pts, isg, ids, perm = F._sort_bin_coherent(
-        R_, T_, focal, principal, mus, isig_b, (H, W), bin_size, base_ids)
+    if sort:
+        pts, isg, ids, perm = F._sort_bin_coherent(
+            R_, T_, focal, principal, mus, isig_b, (H, W), bin_size,
+            base_ids)
+    else:
+        # original candidate order (the emission-compacted production path):
+        # perm=None, no unsort anywhere downstream
+        pts, isg, ids, perm = mus, isig_b, base_ids, None
     mask = overlap_mask(R_, T_, focal, principal, pts, isg, (H, W), 0.01,
                         bin_size)
     sel_k, _aux = F._rt_fine_kern(pts, isg, rays, mask, ids, thr_act,
@@ -180,10 +186,10 @@ def _mk_frag_c(sel_idx_k, w_k, mask_k, ids_p, pts, isg, gc):
     return frag, sel_img, w_img
 
 
-def _check_fused_against_segment(rng, mode):
+def _check_fused_against_segment(rng, mode, sort=True):
     from voge_tpu.sampler import _sample_features_fused, _sample_features
 
-    sel_k, w_k, mask_k, ids_p, pts, isg, gc = _ctx_scene(rng)
+    sel_k, w_k, mask_k, ids_p, pts, isg, gc = _ctx_scene(rng, sort=sort)
     if mode == "g":
         frag, sel_img, w_img = _mk_frag_g(sel_k, w_k, mask_k, ids_p, gc)
     else:
@@ -241,3 +247,55 @@ def test_fused_sampler_global_mode_matches_segment(rng):
 
 def test_fused_sampler_compact_mode_matches_segment(rng):
     _check_fused_against_segment(rng, "c")
+
+
+def test_fused_sampler_perm_none_matches_segment(rng):
+    """perm=None (original candidate order, the emission-compacted
+    production path) skips the unsort entirely — values and grads must
+    still match the segment formulation."""
+    _check_fused_against_segment(rng, "c", sort=False)
+    _check_fused_against_segment(rng, "g", sort=False)
+
+
+def test_fused_sampler_dtype_follows_promotion(rng):
+    """The fused path computes in f32 internally but must return the dtype
+    the segment_sum fallback would (promotion from image x weights), so TPU
+    and CPU calls agree (advisor round-2 finding)."""
+    from voge_tpu.sampler import _sample_features_fused
+
+    sel_k, w_k, mask_k, ids_p, pts, isg, gc = _ctx_scene(rng)
+    frag, sel_img, w_img = _mk_frag_g(sel_k, w_k, mask_k, ids_p, gc)
+    B, H, W = gc["B"], gc["H"], gc["W"]
+    n_vert = B * gc["P"]
+    img16 = jnp.asarray(
+        rng.uniform(0, 1, size=(B, H, W, 3)), dtype=jnp.bfloat16
+    )
+    feat, wsum = _sample_features_fused(frag, img16, n_vert, interpret=True)
+    want = jnp.result_type(img16.dtype, frag.vert_weight.dtype)
+    assert feat.dtype == want and wsum.dtype == want
+
+
+def test_fragment_mutation_clears_fused_ctx(rng):
+    """Assigning a data field after construction must drop attr_ctx: the
+    fused interpolate/sample paths would otherwise read the stale
+    kernel-layout copies while the fallback honors the new arrays
+    (advisor round-2 finding)."""
+    frag = _frag(rng)
+    assert frag.attr_ctx is None
+    frag2 = Fragments(
+        vert_weight=frag.vert_weight, vert_index=frag.vert_index,
+        valid_num=frag.valid_num, vert_hit_length=frag.vert_hit_length,
+        attr_ctx=("sentinel",), attr_geom=("geom",),
+    )
+    assert frag2.attr_ctx is not None and frag2.attr_geom is not None
+    frag2.vert_weight = frag2.vert_weight * 0.5
+    assert frag2.attr_ctx is None and frag2.attr_geom is None
+    # a fresh ctx-carrying fragment keeps its ctx until a field is assigned
+    frag3 = Fragments(
+        vert_weight=frag.vert_weight, vert_index=frag.vert_index,
+        valid_num=frag.valid_num, vert_hit_length=frag.vert_hit_length,
+        attr_ctx=("sentinel",), attr_geom=("geom",),
+    )
+    assert frag3.attr_ctx == ("sentinel",)
+    frag3.vert_index = frag3.vert_index
+    assert frag3.attr_ctx is None

@@ -12,9 +12,20 @@ for the XLA fallback) against the literal float64 reference oracle
     agreeing / flipped pixels (white-background RGB + silhouette),
   - ``exact_f64_err``: ours-in-float64 vs oracle (CPU only) — the
     same-mathematical-function proof,
-  - ``overflow_points``: candidates dropped by capacity caps (0 = exact).
+  - ``overflow_points``: candidates dropped by capacity caps (0 = exact),
+  - ``grad_rel_verts`` / ``grad_rel_sigmas``: full-chain gradient parity
+    (ours-f32 vs the torch-f64 oracle's autograd) per config, with the
+    control columns ``ref32_grad_rel_*`` (the reference chain itself in
+    f32 vs its own f64 autograd).  Gradients use each config's SCENE
+    (Gaussians, sigmas, K — the numerically relevant part) on a frame
+    capped at 128 px on the long side (focal/principal scaled along), the
+    small-frame methodology of tests/test_parity_full.py:246-307: f64
+    oracle autograd at the heavy configs' full frames is intractable
+    (forward alone is 300-400 s; the autograd graph of the K=60/80
+    insertion sort multiplies that).
 
-Usage:  python tools/parity_gate.py [--skip-f64] [--configs a,b,...]
+Usage:  python tools/parity_gate.py [--skip-f64] [--skip-grads]
+                                    [--configs a,b,...]
 """
 import argparse
 import json
@@ -203,10 +214,116 @@ CONFIGS = dict(
 
 
 # ---------------------------------------------------------------------------
+# gradient parity (small-frame methodology at each config's scene)
+# ---------------------------------------------------------------------------
+
+def grad_parity(cfg, ref, sig33, max_side=128):
+    """Gradient parity of the full chain at this config's SCENE (same
+    Gaussians/sigmas/K), frame capped at ``max_side`` px on the long side
+    with focal/principal scaled along.  Returns the relative-error columns
+    (ours-f32 and reference-f32, each vs the f64 oracle's autograd), with
+    Gaussians touched by knife-edge selection flips excluded — their
+    gradient paths legitimately differ when the selection flips
+    (tests/test_parity_full.py:285-301)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from voge_tpu.renderer import (
+        get_silhouette, render_pipeline, to_white_background,
+    )
+    from oracle_full import (
+        reference_render, reference_silhouette, reference_white_background,
+    )
+
+    s = min(1.0, max_side / max(cfg["H"], cfg["W"]))
+    H, W = int(round(cfg["H"] * s)), int(round(cfg["W"] * s))
+    K = cfg["K"]
+    P = cfg["verts"].shape[0]
+    focal = cfg["focal"] * s
+    principal = cfg["principal"] * s
+    rng = np.random.RandomState(0)
+    Wp = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
+    Ws = rng.uniform(size=(1, H, W)).astype(np.float32)
+
+    t = lambda x, d=torch.float64: torch.tensor(np.asarray(x), dtype=d)
+
+    # oracle first: exact per-bin counts give the no-truncation mppb
+    fd0 = reference_render(
+        ref, t(cfg["verts"]), t(sig33), t(cfg["R"]), t(cfg["T"]),
+        t(focal), t(principal), (H, W), max_assign=K,
+        max_point_per_bin=P if cfg["mppb"] != -1 else -1,
+    )
+    mppb = -1 if cfg["mppb"] == -1 else int(fd0["bin_counts"].max()) + 8
+
+    def loss_j(v, s33):
+        frag = render_pipeline(
+            v, s33, jnp.asarray(cfg["R"]), jnp.asarray(cfg["T"]),
+            jnp.asarray(focal), jnp.asarray(principal),
+            image_size=(H, W), max_assign=K, max_point_per_bin=mppb,
+        )
+        img = to_white_background(frag, jnp.asarray(cfg["colors"]))
+        sil = get_silhouette(frag)
+        return (jnp.mean(img * jnp.asarray(Wp))
+                + jnp.mean(sil * jnp.asarray(Ws))), frag
+
+    (_, frag), (gv, gs) = jax.value_and_grad(
+        loss_j, argnums=(0, 1), has_aux=True
+    )(jnp.asarray(cfg["verts"]), jnp.asarray(sig33, jnp.float32))
+
+    def torch_grads(dtype):
+        vt = t(cfg["verts"], dtype).requires_grad_(True)
+        st = t(sig33, dtype).requires_grad_(True)
+        fd = reference_render(
+            ref, vt, st, t(cfg["R"], dtype), t(cfg["T"], dtype),
+            t(focal, dtype), t(principal, dtype), (H, W), max_assign=K,
+            max_point_per_bin=P if cfg["mppb"] != -1 else -1, dtype=dtype,
+        )
+        img_o = reference_white_background(ref, fd, t(cfg["colors"], dtype))
+        sil_o = reference_silhouette(fd)
+        L = ((img_o * t(Wp, dtype)).mean() + (sil_o * t(Ws, dtype)).mean())
+        L.backward()
+        return fd, vt.grad.numpy(), st.grad.numpy()
+
+    fd64, gv_o, gs_o = torch_grads(torch.float64)
+    fd32, gv_r, gs_r = torch_grads(torch.float32)
+
+    i_o = fd64["vert_index"].numpy()
+
+    def keep_mask(idx_ours):
+        flips = (idx_ours != i_o).any(axis=-1)
+        touched = set()
+        for b, yy, xx in np.argwhere(flips):
+            for v in list(idx_ours[b, yy, xx]) + list(i_o[b, yy, xx]):
+                if v >= 0:
+                    touched.add(int(v) % P)
+        keep = np.ones(P, bool)
+        keep[list(touched)] = False
+        return keep, float(flips.mean())
+
+    keep_j, flip_j = keep_mask(np.asarray(frag.vert_index))
+    keep_r, flip_r = keep_mask(fd32["vert_index"].numpy())
+
+    def rel(a, b, keep):
+        a = np.asarray(a, np.float64)[keep]
+        b = np.asarray(b, np.float64)[keep]
+        return float(np.abs(a - b).max() / (np.abs(b).max() + 1e-30))
+
+    return dict(
+        grad_H=H, grad_W=W, grad_flip_frac=flip_j,
+        grad_rel_verts=rel(gv, gv_o, keep_j),
+        grad_rel_sigmas=rel(gs, gs_o, keep_j),
+        ref32_grad_flip_frac=flip_r,
+        ref32_grad_rel_verts=rel(gv_r, gv_o, keep_r),
+        ref32_grad_rel_sigmas=rel(gs_r, gs_o, keep_r),
+    )
+
+
+# ---------------------------------------------------------------------------
 # runner
 # ---------------------------------------------------------------------------
 
-def run_config(name, cfg, ref, skip_f64=False):
+def run_config(name, cfg, ref, skip_f64=False, skip_grads=False):
     import jax
     import jax.numpy as jnp
     import torch
@@ -346,6 +463,9 @@ def run_config(name, cfg, ref, skip_f64=False):
         keep = np.asarray(wsum_o) > 1e-3
         res["max_err_texture"] = float(np.abs(tex - tex_o)[keep].max())
 
+    if not skip_grads:
+        res.update(grad_parity(cfg, ref, sig33))
+
     if not skip_f64 and jax.default_backend() == "cpu":
         with jax.enable_x64(True):
             frag64 = render_pipeline(
@@ -369,6 +489,7 @@ def run_config(name, cfg, ref, skip_f64=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-f64", action="store_true")
+    ap.add_argument("--skip-grads", action="store_true")
     ap.add_argument("--configs", default=",".join(CONFIGS))
     ap.add_argument("--out", default="PARITY.json")
     args = ap.parse_args()
@@ -385,7 +506,8 @@ def main():
     for name in args.configs.split(","):
         print(f"=== {name}", flush=True)
         cfg = CONFIGS[name]()
-        res = run_config(name, cfg, ref, skip_f64=args.skip_f64)
+        res = run_config(name, cfg, ref, skip_f64=args.skip_f64,
+                         skip_grads=args.skip_grads)
         key = f"{name}@{res['backend']}"
         out["configs"][key] = res
         print(json.dumps({key: res}), flush=True)

@@ -56,8 +56,6 @@ def hit_values(
     # parity with the CUDA reference, which contracts mu^T Lambda r
     # (Innerdot3d(mus, isigmas, rays)) so d/dLambda_ij = mu_i r_j.
     A = jnp.einsum("...pji,...pj->...pi", isigmas, mus, precision=_P)
-    # msm = mu^T Lambda mu : (..., P)
-    msm = jnp.einsum("...pi,...pi->...p", mus, A, precision=_P)
     # msk = mu^T Lambda r : (..., N, P)
     msk = jnp.einsum("...nd,...pd->...np", rays, A, precision=_P)
     # ksk = r^T Lambda r : flatten Lambda to 9 and contract with r_i r_j
@@ -66,7 +64,19 @@ def hit_values(
     is9 = isigmas.reshape(isigmas.shape[:-2] + (9,))
     ksk = jnp.einsum("...nq,...pq->...np", rr9, is9, precision=_P)
     hit_length = msk / ksk
-    hit_activation = msm[..., None, :] - msk * msk / ksk
+    # hit_activation in the COMPENSATED residual form
+    #     a = d^T Lambda d,   d = mu - t* r
+    # mathematically identical to the expanded mu^T Lambda mu - msk^2/ksk
+    # of the reference (ray_trace_voge.cu:188-193) but without the
+    # catastrophic big-term cancellation: for a kernel with msm ~ 5e7 (the
+    # bunny config's far-outlier Gaussians) the expanded f32 form carries
+    # |d act| ~ eps * msm ~ 1, the residual form ~ 1e-5 (tools/debug_bunny
+    # measured both; the CUDA contraction order errs identically, so this
+    # is strictly more accurate than the reference's own f32).  Costs a
+    # (..., N, P, 3) temporary — 3x the hit-tensor footprint.
+    d = mus[..., None, :, :] - hit_length[..., :, :, None] * rays[..., :, None, :]
+    e = jnp.einsum("...npi,...pij->...npj", d, isigmas, precision=_P)
+    hit_activation = jnp.einsum("...npj,...npj->...np", e, d, precision=_P)
     return hit_length, hit_activation, ksk
 
 

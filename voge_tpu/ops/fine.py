@@ -68,11 +68,18 @@ _PALLAS_MAX_M = 16384
 # max_assign=all) blows the 100 MB scoped budget.  Beyond this the dense
 # XLA formulation runs (SURVEY §7 "large-K cases should fall back to dense
 # top_k") — at select-everything K the top-K machinery buys nothing anyway.
-_PALLAS_MAX_K = int(os.environ.get("VOGE_TPU_MAX_KERN_K", "80"))
+# ``VOGE_TPU_MAX_KERN_K`` overrides the boundary (read at trace time, so a
+# test or user can change it without re-importing); raising it past ~80
+# risks the exact VMEM abort the default exists to prevent.
+_DEFAULT_MAX_KERN_K = 80
+
+
+def _max_kern_k() -> int:
+    return int(os.environ.get("VOGE_TPU_MAX_KERN_K", _DEFAULT_MAX_KERN_K))
 
 
 def _kern_k_ok(K: int) -> bool:
-    return int(K) <= _PALLAS_MAX_K
+    return int(K) <= _max_kern_k()
 
 # Backward-compatible alias; the constant lives in pallas_fine (shared with
 # pallas_attr so the two dispatch thresholds cannot drift apart).
@@ -88,17 +95,18 @@ def _ceil_to(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _gauss_feature_cols(mus: jax.Array, isigmas: jax.Array):
-    """13 per-Gaussian feature vectors (each (P,)):
-    [A0, A1, A2, msm, L00, L01, L02, L10, L11, L12, L20, L21, L22]
+    """16 per-Gaussian feature vectors (each (P,)):
+    [A0, A1, A2, msm, L00, ..., L22, mu0, mu1, mu2]
     with A = Lambda^T mu (so msk = mu^T Lambda r, gradient-parity with the
-    CUDA contraction order) and msm = mu^T Lambda mu."""
+    CUDA contraction order) and msm = mu^T Lambda mu.  The mu rows feed the
+    compensated residual-form activation (see ops/pallas_fine.py)."""
     mu = [mus[:, d] for d in range(3)]
     L = [[isigmas[:, i, j] for j in range(3)] for i in range(3)]
     A = [
         L[0][i] * mu[0] + L[1][i] * mu[1] + L[2][i] * mu[2] for i in range(3)
     ]
     msm = mu[0] * A[0] + mu[1] * A[1] + mu[2] * A[2]
-    return A + [msm] + [L[i][j] for i in range(3) for j in range(3)]
+    return A + [msm] + [L[i][j] for i in range(3) for j in range(3)] + mu
 
 
 def _bin_plane(x: jax.Array, BH: int, BW: int, bsh: int, bsw: int) -> jax.Array:
@@ -119,6 +127,23 @@ def _unbin(x: jax.Array, B, BH, BW, H, W, bsh, bsw) -> jax.Array:
 # forward
 # ---------------------------------------------------------------------------
 
+def _residual_act(length, rf, cf):
+    """act = d^T Lambda d with d = mu - len * r over planes layouts — the
+    compensated residual form of msm - msk^2/ksk (identical math, no
+    eps*msm cancellation; see ops/pallas_fine.py and tools/debug_bunny.py).
+
+    :param length: (nb, R, M); :param rf: (nb, R, FEAT) ray features;
+    :param cf: (nb, FEAT, M) candidate features (mu rows 13..15, Lambda
+        rows 4..12)."""
+    d = [
+        cf[:, 13 + i, :][:, None, :] - length * rf[:, :, i][:, :, None]
+        for i in range(3)
+    ]
+    Lr = lambda i, j: cf[:, 4 + 3 * i + j, :][:, None, :]
+    e = [sum(d[i] * Lr(i, j) for i in range(3)) for j in range(3)]
+    return sum(e[j] * d[j] for j in range(3))
+
+
 def _xla_select(rays_feat, cand_feat, cand_idx, thr_act: float, K: int):
     """Pure-XLA selection over planes (CPU / fallback path); same math and
     tie-breaking as the Pallas kernel (top_k and argmin-extraction both
@@ -130,9 +155,8 @@ def _xla_select(rays_feat, cand_feat, cand_idx, thr_act: float, K: int):
                      precision=jax.lax.Precision.HIGHEST)
     ksk = jnp.einsum("brq,bqm->brm", rf[:, :, 3:12], cf[:, 4:13, :],
                      precision=jax.lax.Precision.HIGHEST)
-    msm = cf[:, 3, :][:, None, :]
     length = msk / ksk
-    act = msm - msk * msk / ksk
+    act = _residual_act(length, rf, cf)
     ok = (act < thr_act) & (idx[:, None, :] >= 0)
     lm = jnp.where(ok, length, _SENTINEL_LEN)
     kk = min(K, lm.shape[-1])
@@ -176,9 +200,8 @@ def _fine_forward(
     valid = bp >= 0
     idxc = jnp.where(valid, bp, 0)
     cols = _gauss_feature_cols(mus, isigmas)
-    gathered = [c[idxc] for c in cols]                       # 13 x (nb, M_pad)
-    zeros = jnp.zeros_like(gathered[0])
-    cand_feat = jnp.stack(gathered + [zeros] * (FEAT - 13), axis=1)
+    gathered = [c[idxc] for c in cols]                       # 16 x (nb, M_pad)
+    cand_feat = jnp.stack(gathered, axis=1)
     cand_idx = bp[:, None, :]
 
     # ---- ray feature planes --------------------------------------------
@@ -357,9 +380,8 @@ def _xla_select_mask(rays_feat, gauss_feat, mask, ids, thr_act: float, K: int,
                      precision=_P)
     ksk = jnp.einsum("brq,bqm->brm", rays_feat[:, :, 3:12], gf[:, 4:13, :],
                      precision=_P)
-    msm = gf[:, 3, :][:, None, :]
     length = msk / ksk
-    act = msm - msk * msk / ksk
+    act = _residual_act(length, rays_feat, gf)
     ok = (act < thr_act) & (mask[:, None, :] > 0)
     lm = jnp.where(ok, length, _SENTINEL_LEN)
     kk = min(K, P_pad)

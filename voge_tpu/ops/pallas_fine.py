@@ -19,14 +19,17 @@ Nothing of size (R, M) is ever written to HBM: HBM traffic is candidates in,
 Feature packing (see :mod:`voge_tpu.ops.fine` for the producers):
 
   ray features   rf[r, :]  = [r0, r1, r2, rr00, rr01, ..., rr22, 0, ...]
-  cand features  cf[:, m]  = [A0, A1, A2, msm, L00, L01, ..., L22, 0, ...]
+  cand features  cf[:, m]  = [A0, A1, A2, msm, L00, ..., L22, mu0, mu1, mu2]
 
 with A = Lambda^T mu (so msk = mu^T Lambda r), msm = mu^T Lambda mu, and
 L the rows of Lambda; then
 
   msk = sum_d rf[:, d]   * cf[d]          (3 FMAs)
   ksk = sum_q rf[:, 3+q] * cf[4+q]        (9 FMAs)
-  len = msk / ksk;  act = msm - msk^2 / ksk;  dsd = ksk.
+  len = msk / ksk;  dsd = ksk;
+  act = d^T Lambda d with d = mu - len * r  (the compensated residual form
+  of msm - msk^2/ksk; the msm row is kept for layout compatibility but the
+  selection kernels no longer read it — see tools/debug_bunny.py).
 """
 from __future__ import annotations
 
@@ -66,7 +69,17 @@ def _kernel(rf_ref, cf_ref, ci_ref, oi_ref, ol_ref, oa_ref, od_ref, *,
         ksk = ksk + rf[:, 3 + q : 4 + q] * cf[4 + q : 5 + q, :]
 
     length = msk / ksk
-    act = cf[3:4, :] - msk * msk / ksk
+    # act in the COMPENSATED residual form a = d^T Lambda d, d = mu - len*r:
+    # identical math to the reference's expanded msm - msk^2/ksk
+    # (ray_trace_voge.cu:188-193) but immune to the eps*msm cancellation
+    # (tools/debug_bunny.py: 1e-5 vs O(1) act error on outlier-msm kernels).
+    d0 = cf[13:14, :] - length * rf[:, 0:1]
+    d1 = cf[14:15, :] - length * rf[:, 1:2]
+    d2 = cf[15:16, :] - length * rf[:, 2:3]
+    e0 = d0 * cf[4:5, :] + d1 * cf[7:8, :] + d2 * cf[10:11, :]
+    e1 = d0 * cf[5:6, :] + d1 * cf[8:9, :] + d2 * cf[11:12, :]
+    e2 = d0 * cf[6:7, :] + d1 * cf[9:10, :] + d2 * cf[12:13, :]
+    act = e0 * d0 + e1 * d1 + e2 * d2
     ok = (act < thr_act) & (idx >= 0)
     lm = jnp.where(ok, length, _SENTINEL)
 

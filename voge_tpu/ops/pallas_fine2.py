@@ -42,6 +42,14 @@ from voge_tpu.ops.pallas_fine import FEAT
 _INF = 1e10
 _RUNW = 128  # running-state lane width (>= K, lane-aligned)
 
+# Largest K whose per-slot loops (top-K extraction passes, erf compositing
+# sweeps) are python-unrolled in the kernels.  Beyond it the loops run as
+# ``lax.fori_loop`` with dynamic sublane reads/writes: Mosaic compile time
+# and the live temporary set grow ~linearly with the unroll (K=80 pushed a
+# single XLA compile of the ExtractTexture forward past the bench's 600 s
+# subprocess budget), while the loop body compiles once.
+_MAX_UNROLL_K = 32
+
 
 def _erf32(x):
     """f32 erf as the Eigen/XLA rational approximation x*P(x^2)/Q(x^2) on
@@ -163,7 +171,18 @@ def _kernel_tc(
             precision=jax.lax.Precision.HIGHEST,
         )                                                        # (C, R)
         length = msk / ksk
-        act = tab[:, 3:4] - msk * msk / ksk
+        # act = d^T Lambda d with d = mu - len * r: the compensated residual
+        # form of msm - msk^2/ksk — immune to the eps*msm cancellation that
+        # dominates the f32 error on outlier-msm kernels (bunny config; see
+        # tools/debug_bunny.py and ops/pallas_fine.py).  ~15 extra VPU FMAs
+        # per (C, R) chunk vs the 3-op expanded form.
+        d0 = tab[:, 13:14] - length * rf[0:1, :]
+        d1 = tab[:, 14:15] - length * rf[1:2, :]
+        d2 = tab[:, 15:16] - length * rf[2:3, :]
+        e0 = d0 * tab[:, 4:5] + d1 * tab[:, 7:8] + d2 * tab[:, 10:11]
+        e1 = d0 * tab[:, 5:6] + d1 * tab[:, 8:9] + d2 * tab[:, 11:12]
+        e2 = d0 * tab[:, 6:7] + d1 * tab[:, 9:10] + d2 * tab[:, 12:13]
+        act = e0 * d0 + e1 * d1 + e2 * d2
         ok = (act < thr_act) & (member > 0)
         lm = jnp.where(ok, length, _INF)
 
@@ -183,35 +202,47 @@ def _kernel_tc(
         # Mosaic, so the first-minimum row is found with a second min over
         # the sublane iota (ties -> lowest row = the insertion-sort
         # tie-break).  Invalid slots extract junk payloads (mn == _INF
-        # matches many rows); they are re-masked after the loop.
-        new_len, new_act, new_dsd, new_idx = [], [], [], []
-        for _ in range(K):
+        # matches many rows); they are re-masked per pass.
+        def _extract(cat_len):
             mn = jnp.min(cat_len, axis=0, keepdims=True)
             oh0 = cat_len == mn
             am = jnp.min(jnp.where(oh0, sub_w, W), axis=0, keepdims=True)
             oh = sub_w == am
-            new_len.append(mn)
-            new_act.append(jnp.sum(jnp.where(oh, cat_act, 0.0), axis=0, keepdims=True))
-            new_dsd.append(jnp.sum(jnp.where(oh, cat_dsd, 0.0), axis=0, keepdims=True))
-            new_idx.append(jnp.sum(jnp.where(oh, cat_idx, 0), axis=0, keepdims=True))
-            cat_len = jnp.where(oh, _INF, cat_len)
+            val = mn < _INF
+            a = jnp.sum(jnp.where(oh, cat_act, 0.0), axis=0, keepdims=True)
+            d = jnp.sum(jnp.where(oh, cat_dsd, 0.0), axis=0, keepdims=True)
+            i = jnp.sum(jnp.where(oh, cat_idx, 0), axis=0, keepdims=True)
+            row = (mn, jnp.where(val, a, _INF), jnp.where(val, d, 0.0),
+                   jnp.where(val, i, -1))
+            return row, jnp.where(oh, _INF, cat_len)
 
-        k_len = jnp.concatenate(new_len, axis=0)               # (K, R)
-        k_val = k_len < _INF
-        k_act = jnp.where(k_val, jnp.concatenate(new_act, axis=0), _INF)
-        k_dsd = jnp.where(k_val, jnp.concatenate(new_dsd, axis=0), 0.0)
-        k_idx = jnp.where(k_val, jnp.concatenate(new_idx, axis=0), -1)
-
-        pad = Kp - K
-        if pad:
-            k_len = jnp.concatenate([k_len, jnp.full((pad, R), _INF, jnp.float32)], axis=0)
-            k_act = jnp.concatenate([k_act, jnp.full((pad, R), _INF, jnp.float32)], axis=0)
-            k_dsd = jnp.concatenate([k_dsd, jnp.zeros((pad, R), jnp.float32)], axis=0)
-            k_idx = jnp.concatenate([k_idx, jnp.full((pad, R), -1, jnp.int32)], axis=0)
-        run_len[:] = k_len
-        run_act[:] = k_act
-        run_dsd[:] = k_dsd
-        run_idx[:] = k_idx
+        if K <= _MAX_UNROLL_K:
+            new_len, new_act, new_dsd, new_idx = [], [], [], []
+            for _ in range(K):
+                (mn, a, d, i), cat_len = _extract(cat_len)
+                new_len.append(mn)
+                new_act.append(a)
+                new_dsd.append(d)
+                new_idx.append(i)
+            pad = Kp - K
+            padrow = lambda rows, v, dt: jnp.concatenate(
+                rows + ([jnp.full((pad, R), v, dt)] if pad else []), axis=0
+            )
+            run_len[:] = padrow(new_len, _INF, jnp.float32)
+            run_act[:] = padrow(new_act, _INF, jnp.float32)
+            run_dsd[:] = padrow(new_dsd, 0.0, jnp.float32)
+            run_idx[:] = padrow(new_idx, -1, jnp.int32)
+        else:
+            # large K: one compiled body, dynamic sublane stores.  Padding
+            # rows K..Kp keep their c==0 init (never written).
+            def body(k, cat_len):
+                (mn, a, d, i), cat_len = _extract(cat_len)
+                run_len[pl.ds(k, 1), :] = mn
+                run_act[pl.ds(k, 1), :] = a
+                run_dsd[pl.ds(k, 1), :] = d
+                run_idx[pl.ds(k, 1), :] = i
+                return cat_len
+            jax.lax.fori_loop(0, K, body, cat_len, unroll=False)
 
     @pl.when(c == n_c - 1)
     def _():
@@ -228,11 +259,22 @@ def _kernel_tc(
             l = run_len[:]
             ea = jnp.exp(-run_act[:])                       # (Kp, R)
             sq = jnp.sqrt(run_dsd[:] + 1e-10)
-            occ = jnp.zeros_like(l)
-            for k in range(K):
-                ca = (l - l[k:k + 1, :]) * sq[k:k + 1, :]
-                occ = occ + ea[k:k + 1, :] * (
-                    0.5 * (_erf32(ca) + 1.0)
+            if K <= _MAX_UNROLL_K:
+                occ = jnp.zeros_like(l)
+                for k in range(K):
+                    ca = (l - l[k:k + 1, :]) * sq[k:k + 1, :]
+                    occ = occ + ea[k:k + 1, :] * (
+                        0.5 * (_erf32(ca) + 1.0)
+                    )
+            else:
+                def occ_body(k, occ):
+                    lk = run_len[pl.ds(k, 1), :]
+                    ak = run_act[pl.ds(k, 1), :]
+                    dk = run_dsd[pl.ds(k, 1), :]
+                    ca = (l - lk) * jnp.sqrt(dk + 1e-10)
+                    return occ + jnp.exp(-ak) * (0.5 * (_erf32(ca) + 1.0))
+                occ = jax.lax.fori_loop(
+                    0, K, occ_body, jnp.zeros_like(l), unroll=False
                 )
             ow_ref[0] = jnp.exp(-float(agg_ow) * occ) * ea * 1.6487212707001282
 
@@ -370,29 +412,58 @@ def fold_weights_pallas(
     n_r = R_pad // rc
     inv_sqrt_pi = 0.5641895835477563
 
-    def _kernel(l_ref, a_ref, d_ref, w_ref, gw_ref, dl_ref, da_ref, dd_ref):
+    def _kernel(l_ref, a_ref, d_ref, w_ref, gw_ref, dl_ref, da_ref, dd_ref,
+                A_s, C_s, D_s):
         l = l_ref[0]
         s = jnp.sqrt(d_ref[0] + 1e-10)
         e = jnp.exp(-a_ref[0])
         G = gw_ref[0] * w_ref[0]
-        B = jnp.zeros_like(l)
-        A_rows, C_rows, D_rows = [], [], []
-        for k in range(K):
-            lk = l[k : k + 1, :]
-            sk = s[k : k + 1, :]
-            ek = e[k : k + 1, :]
+
+        def _sweep(lk, sk, ek, B):
             diff = l - lk
             ca = diff * sk
             phi = jnp.exp(-ca * ca) * inv_sqrt_pi
             Phi = (_erf32(ca) + 1.0) * 0.5
-            A_rows.append(jnp.sum(G * Phi, axis=0, keepdims=True))
-            C_rows.append(jnp.sum(G * phi, axis=0, keepdims=True))
-            D_rows.append(jnp.sum(G * phi * diff, axis=0, keepdims=True))
-            B = B + (ek * sk) * phi
-        pad = [jnp.zeros((Kp - K, l.shape[1]), jnp.float32)] if Kp > K else []
-        A = jnp.concatenate(A_rows + pad, axis=0)
-        C = jnp.concatenate(C_rows + pad, axis=0)
-        D = jnp.concatenate(D_rows + pad, axis=0)
+            rows = (
+                jnp.sum(G * Phi, axis=0, keepdims=True),
+                jnp.sum(G * phi, axis=0, keepdims=True),
+                jnp.sum(G * phi * diff, axis=0, keepdims=True),
+            )
+            return rows, B + (ek * sk) * phi
+
+        if K <= _MAX_UNROLL_K:
+            B = jnp.zeros_like(l)
+            A_rows, C_rows, D_rows = [], [], []
+            for k in range(K):
+                rows, B = _sweep(l[k:k + 1, :], s[k:k + 1, :], e[k:k + 1, :], B)
+                A_rows.append(rows[0])
+                C_rows.append(rows[1])
+                D_rows.append(rows[2])
+            pad = [jnp.zeros((Kp - K, l.shape[1]), jnp.float32)] if Kp > K else []
+            A = jnp.concatenate(A_rows + pad, axis=0)
+            C = jnp.concatenate(C_rows + pad, axis=0)
+            D = jnp.concatenate(D_rows + pad, axis=0)
+        else:
+            # large K: one compiled sweep body; per-slot rows land in
+            # scratch via dynamic sublane stores (cf. _kernel_tc)
+            A_s[:] = jnp.zeros_like(A_s)
+            C_s[:] = jnp.zeros_like(C_s)
+            D_s[:] = jnp.zeros_like(D_s)
+
+            def body(k, B):
+                rows, B = _sweep(
+                    l_ref[0, pl.ds(k, 1), :],
+                    jnp.sqrt(d_ref[0, pl.ds(k, 1), :] + 1e-10),
+                    jnp.exp(-a_ref[0, pl.ds(k, 1), :]), B,
+                )
+                A_s[pl.ds(k, 1), :] = rows[0]
+                C_s[pl.ds(k, 1), :] = rows[1]
+                D_s[pl.ds(k, 1), :] = rows[2]
+                return B
+            B = jax.lax.fori_loop(
+                0, K, body, jnp.zeros_like(l), unroll=False
+            )
+            A, C, D = A_s[:], C_s[:], D_s[:]
         f_ow = jnp.float32(ow)
         da_ref[0] = -G + f_ow * e * A
         dl_ref[0] = -f_ow * (G * B - e * s * C)
@@ -406,6 +477,7 @@ def fold_weights_pallas(
         in_specs=[spec] * 5,
         out_specs=[spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((Kp, rc), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

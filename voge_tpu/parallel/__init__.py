@@ -12,6 +12,8 @@
 from voge_tpu.parallel.batchify import Batchifier, batchify
 from voge_tpu.parallel.shard import (
     DataParallelBatchifier,
+    interpolate_attr_sharded,
     render_pipeline_sharded,
+    sample_features_sharded,
     make_mesh,
 )

@@ -41,7 +41,7 @@ from voge_tpu.aggregation import aggregation
 from voge_tpu.cameras import camera_centers
 from voge_tpu.ops.fine import ray_tracing, _SENTINEL_LEN, _SENTINEL_ACT
 from voge_tpu.rays import camera_rays
-from voge_tpu.renderer import Fragments
+from voge_tpu.renderer import Fragments, render_pipeline
 from voge_tpu.aggregation import expend_sigma
 
 
@@ -133,14 +133,27 @@ def render_pipeline_sharded(
     assert N % m_size == 0, f"num Gaussians {N} not divisible by {m_size}"
     axes = ([model_axis] if model_axis else [])
 
+    if model_axis is None:
+        # Scene replicated (pure camera DP): each shard's local render IS
+        # final, so the full single-device pipeline runs per shard and the
+        # fused-compositing context survives the shard_map boundary —
+        # `interpolate_attr_sharded` / `sample_features_sharded` re-enter
+        # the mesh and hit the fused Pallas paths (round-2 weakness: the DP
+        # path used to silently lose them).
+        return _replicated_dp_render(
+            verts, sigmas, R, T, focal, principal, mesh=mesh,
+            data_axis=data_axis, image_size=image_size,
+            max_assign=max_assign, thr_activation=thr_activation,
+            absorptivity=absorptivity, inverse_sigma=inverse_sigma,
+            bin_size=bin_size, max_point_per_bin=max_point_per_bin,
+        )
+
     def _select_block(verts_l, sigmas_l, R_l, T_l, f_l, p_l, src_shard,
-                      size=None, agg_ow=None):
+                      size=None):
         """Selection of one Gaussian block for the local cameras; returns
         K-lists with indices mapped to the global (b * N + n) space using
-        the block's origin shard.  ``agg_ow`` (scene-replicated case only)
-        fuses the erf compositing into the selection and appends the
-        per-slot weights — valid only when this block is the WHOLE scene,
-        since compositing must run on the merged selection."""
+        the block's origin shard.  Compositing runs on the MERGED selection
+        (weights are not mergeable across shards)."""
         size = image_size if size is None else size
         B_l = R_l.shape[0]
         N_l = verts_l.shape[0]
@@ -155,12 +168,7 @@ def render_pipeline_sharded(
             (R_l, T_l, f_l, p_l), verts_t, isig, rays, size,
             thr=thr_activation, n_assign=max_assign,
             bin_size=bin_size, max_points_per_bin=max_point_per_bin,
-            agg_ow=agg_ow,
         )
-        if agg_ow is not None:
-            sel_idx, sel_len, sel_act, sel_dsd, w = sel
-            assert src_shard is None
-            return sel_idx, sel_len, sel_act, sel_dsd, w
         sel_idx, sel_len, sel_act, sel_dsd = sel
         if src_shard is not None:
             # local (b * N_l + p) -> global (b * N + src_shard * N_l + p)
@@ -187,7 +195,7 @@ def render_pipeline_sharded(
         )
 
     def local_render(verts_l, sigmas_l, R_l, T_l, f_l, p_l):
-        if model_axis is not None and ring:
+        if ring:
             # Ring decomposition (the ring-attention structure): the model
             # axis shards the PIXEL ROWS (queries) — this chip renders rows
             # [my*H_l, (my+1)*H_l), realized by shifting the principal
@@ -217,22 +225,13 @@ def render_pipeline_sharded(
                     blk_v = jax.lax.ppermute(blk_v, model_axis, perm)
                     blk_s = jax.lax.ppermute(blk_s, model_axis, perm)
             sel_idx, sel_len, sel_act, sel_dsd = run
-        elif model_axis is not None:
+        else:
             shard = jax.lax.axis_index(model_axis)
             sel_idx, sel_len, sel_act, sel_dsd = _select_block(
                 verts_l, sigmas_l, R_l, T_l, f_l, p_l, shard
             )
             sel_idx, sel_len, sel_act, sel_dsd = _merge_topk(
                 sel_idx, sel_len, sel_act, sel_dsd, max_assign, model_axis
-            )
-        else:
-            # Scene replicated: the per-chip selection IS the final one, so
-            # the erf compositing fuses into the selection (in-kernel on
-            # TPU).  The model-sharded branches above must composite on the
-            # MERGED selection instead (weights are not mergeable).
-            sel_idx, sel_len, sel_act, sel_dsd, vert_weight = _select_block(
-                verts_l, sigmas_l, R_l, T_l, f_l, p_l, None,
-                agg_ow=float(absorptivity),
             )
         # Fix batch offset to the *global* camera index so fragment indices
         # match the single-chip renderer.
@@ -242,11 +241,10 @@ def render_pipeline_sharded(
             sel_idx = jnp.where(
                 valid, sel_idx + dshard * R_l.shape[0] * N, -1
             )
-        if model_axis is not None:
-            vert_weight, _, _, _ = aggregation(
-                sel_idx=sel_idx, sel_act=sel_act, sel_len=sel_len,
-                sel_dsd=sel_dsd, occupation_weight=absorptivity,
-            )
+        vert_weight, _, _, _ = aggregation(
+            sel_idx=sel_idx, sel_act=sel_act, sel_len=sel_len,
+            sel_dsd=sel_dsd, occupation_weight=absorptivity,
+        )
         valid_num = jnp.sum(sel_idx >= 0, axis=-1)
         return vert_weight, sel_idx, valid_num, sel_len
 
@@ -277,6 +275,128 @@ def render_pipeline_sharded(
         vert_weight=vert_weight, vert_index=sel_idx, valid_num=valid_num,
         vert_hit_length=sel_len,
     )
+
+
+def _replicated_dp_render(
+    verts, sigmas, R, T, focal, principal, *, mesh, data_axis, **rp_kwargs
+):
+    """Camera-DP render with the scene replicated: the full single-device
+    :func:`voge_tpu.renderer.render_pipeline` runs per shard under
+    ``shard_map``, so the returned :class:`Fragments` keeps the
+    fused-compositing context (``attr_ctx``) — shard-local, self-consistent.
+    ``vert_index`` is re-offset to the *global* camera index outside the
+    shard_map (the ctx stays local; :func:`interpolate_attr_sharded` /
+    :func:`sample_features_sharded` restore local indices on re-entry)."""
+    d_size = mesh.shape[data_axis]
+    B = R.shape[0]
+    N = verts.shape[0]
+    geom_box = {}
+
+    def body(verts_r, sigmas_r, R_l, T_l, f_l, p_l):
+        frag = render_pipeline(verts_r, sigmas_r, R_l, T_l, f_l, p_l,
+                               **rp_kwargs)
+        geom_box["geom"] = frag.attr_geom
+        ovf = frag.overflow_points
+        if ovf is None:
+            ovf = jnp.zeros((), jnp.int32)
+        ovf = jax.lax.psum(ovf, data_axis)
+        return (
+            (frag.vert_weight, frag.vert_index, frag.valid_num,
+             frag.vert_hit_length, frag.attr_ctx),
+            ovf,
+        )
+
+    data, ovf = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(data_axis), P(data_axis), P(data_axis),
+                  P(data_axis)),
+        out_specs=(P(data_axis), P()),
+        check_vma=False,
+    )(verts, sigmas, R, T, focal, principal)
+    vw, vi, vn, vl, ctx = data
+    B_l = B // d_size
+    off = (jnp.arange(B, dtype=vi.dtype) // B_l) * (B_l * N)
+    vi = jnp.where(vi >= 0, vi + off[:, None, None, None], -1)
+    return Fragments(
+        vert_weight=vw, vert_index=vi, valid_num=vn, vert_hit_length=vl,
+        attr_ctx=ctx, overflow_points=ovf, attr_geom=geom_box.get("geom"),
+    )
+
+
+def _local_fragments(data, geom):
+    """Rebuild the shard-local Fragments inside a helper's shard_map body:
+    restore shard-local flattened indices (the producing shard_map offset
+    them to global camera indices) and re-attach the static geometry."""
+    vw, vi, vn, vl, ctx = data
+    B_l = vw.shape[0]
+    N = geom[10]
+    vi = jnp.where(vi >= 0, vi % (B_l * N), -1)
+    return Fragments(vert_weight=vw, vert_index=vi, valid_num=vn,
+                     vert_hit_length=vl, attr_ctx=ctx, attr_geom=geom)
+
+
+def _frag_data(frag):
+    return (frag.vert_weight, frag.vert_index, frag.valid_num,
+            frag.vert_hit_length, frag.attr_ctx)
+
+
+def interpolate_attr_sharded(frag, vert_attr, mesh, data_axis: str = "data"):
+    """Attribute compositing on a data-sharded ctx-carrying Fragments (from
+    :func:`render_pipeline_sharded` with ``model_axis=None``): re-enters the
+    mesh with ``shard_map`` so the fused Pallas compositing kernels run per
+    shard (on TPU) instead of the XLA gather fallback.
+
+    ``vert_attr``: (N, C) scene attributes (replicated) or (B*N, C)
+    per-camera attributes (sharded with the batch).
+    """
+    from voge_tpu.renderer import interpolate_attr
+
+    geom = getattr(frag, "attr_geom", None)
+    if geom is None:
+        return interpolate_attr(frag, vert_attr)
+    Np = geom[10]
+    attr_spec = P() if vert_attr.shape[0] == Np else P(data_axis)
+
+    def body(data, attr):
+        return interpolate_attr(_local_fragments(data, geom), attr)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(data_axis), attr_spec),
+        out_specs=P(data_axis), check_vma=False,
+    ))(_frag_data(frag), vert_attr)
+
+
+def sample_features_sharded(frag, image, n_vert: int, mesh,
+                            data_axis: str = "data"):
+    """Inverse rendering on a data-sharded ctx-carrying Fragments: each
+    shard scatters its own cameras' pixels onto its (b, n) rows — disjoint
+    row ranges, so the global (n_vert, C) result is the concatenation (no
+    collective needed).  Requires ``n_vert == B * N`` (the flattened-index
+    convention of batched fragments).
+    """
+    from voge_tpu.sampler import sample_features
+
+    geom = getattr(frag, "attr_geom", None)
+    if geom is None:
+        return sample_features(frag, image, n_vert=n_vert)
+    d_size = mesh.shape[data_axis]
+    B = frag.vert_weight.shape[0]
+    Np = geom[10]
+    assert n_vert == B * Np, (
+        f"sample_features_sharded needs n_vert == B * N ({B} * {Np}); "
+        f"got {n_vert}"
+    )
+    n_local = n_vert // d_size
+
+    def body(data, img):
+        fr = _local_fragments(data, geom)
+        return sample_features(fr, img, n_vert=n_local)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(P(data_axis), P(data_axis)),
+        out_specs=(P(data_axis), P(data_axis)), check_vma=False,
+    ))(_frag_data(frag), image)
 
 
 class DataParallelBatchifier:

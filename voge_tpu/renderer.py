@@ -36,7 +36,12 @@ class Fragments:
     selections/weights plus the candidate-order metadata that let
     :func:`interpolate_attr` run as fused Pallas kernels instead of an XLA
     gather/scatter.  They are dropped by indexing/squeezing (the fallback
-    path remains correct).
+    path remains correct).  Assigning any data field after construction
+    (e.g. ``frag.vert_weight = frag.vert_weight * m`` — a pattern the
+    reference API supports) also drops the context: the ctx caches
+    kernel-layout copies of the weights/indices, so the fused paths would
+    otherwise silently read the stale originals while the segment_sum
+    fallback honors the new arrays.
 
     ``overflow_points`` (scalar int32, or None when unavailable) counts
     candidate(bin, Gaussian) memberships the coarse stage DROPPED because a
@@ -56,6 +61,21 @@ class Fragments:
         self.attr_ctx = attr_ctx
         self.overflow_points = overflow_points
         self.attr_geom = attr_geom
+
+    _DATA_FIELDS = frozenset(
+        ("vert_weight", "vert_index", "valid_num", "vert_hit_length")
+    )
+
+    def __setattr__(self, name, value):
+        # Mutating a data field invalidates the fused-compositing context
+        # (see the class docstring).  During __init__ the data fields are
+        # assigned before attr_ctx exists, so construction never clears it.
+        if name in Fragments._DATA_FIELDS and (
+            getattr(self, "attr_ctx", None) is not None
+        ):
+            object.__setattr__(self, "attr_ctx", None)
+            object.__setattr__(self, "attr_geom", None)
+        object.__setattr__(self, name, value)
 
     def __getitem__(self, item):
         assert self.valid_num.ndim == 3, "Index access is only available when batched."

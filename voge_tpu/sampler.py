@@ -61,23 +61,29 @@ def _rows_to_out(orig: jax.Array, B: int, P: int, C: int, n_vert: int):
     return rows[:, :C], rows[:, C]
 
 
-def _unsort_rows(sorted_rows: jax.Array, perm: jax.Array) -> jax.Array:
+def _unsort_rows(sorted_rows: jax.Array, perm) -> jax.Array:
     """(B, P, Ca) rows in sorted candidate order -> original order.
 
     ``perm[b, j]`` is the original row of sorted slot j; invert with argsort
     (a scatter whose indices/updates share a producer crashes the TPU fusion
-    pass — see DESIGN_NOTES round-2 finding 3)."""
+    pass — see DESIGN_NOTES round-2 finding 3).  ``perm=None`` (the
+    emission-compacted production path keeps candidates in original order)
+    is the identity — no argsort, no gather."""
+    if perm is None:
+        return sorted_rows
     inv = jnp.argsort(perm, axis=1).astype(jnp.int32)
     return jnp.take_along_axis(sorted_rows, inv[:, :, None], axis=1)
 
 
-def _sort_planes(g_aug: jax.Array, perm: jax.Array, B, P, P_pad):
+def _sort_planes(g_aug: jax.Array, perm, B, P, P_pad):
     """(n_vert, Ca) cotangent rows -> (B, Ca, P_pad) planes in sorted
-    candidate order (the layout the attr kernels stream)."""
+    candidate order (the layout the attr kernels stream).  ``perm=None``
+    means candidates are already in original order."""
     Ca = g_aug.shape[-1]
     rows = g_aug[: B * P].reshape(B, P, Ca)
-    sorted_rows = jnp.take_along_axis(rows, perm[:, :, None], axis=1)
-    planes = jnp.swapaxes(sorted_rows, 1, 2)
+    if perm is not None:
+        rows = jnp.take_along_axis(rows, perm[:, :, None], axis=1)
+    planes = jnp.swapaxes(rows, 1, 2)
     return jnp.pad(planes, ((0, 0), (0, 0), (0, P_pad - P)))
 
 
@@ -155,7 +161,8 @@ def _sample_core_c_bwd(st, res, g):
         cand_chunk=cc, per_bin_cand=True, bh_bw=1, interpret=interpret,
     )
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return (d_w, f0(sel_k), f0(ids_c), f0(pos_c), f0(counts_c), f0(perm),
+    g_perm = None if perm is None else f0(perm)
+    return (d_w, f0(sel_k), f0(ids_c), f0(pos_c), f0(counts_c), g_perm,
             d_aug_k)
 
 
@@ -216,7 +223,8 @@ def _sample_core_g_bwd(st, res, g):
         planes, sel_k, mask_k, ids_p, aug_k, K, bh_bw, cand_chunk, interpret,
     )
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
-    return d_w, f0(sel_k), f0(mask_k), f0(ids_p), f0(perm), d_aug_k
+    g_perm = None if perm is None else f0(perm)
+    return d_w, f0(sel_k), f0(mask_k), f0(ids_p), g_perm, d_aug_k
 
 
 _sample_core_g.defvjp(_sample_core_g_fwd, _sample_core_g_bwd)
@@ -247,18 +255,19 @@ def _sample_features_fused(frag, image: jax.Array, n_vert: int,
     if grouped:
         aug_k = _group_supertiles(aug_k, B, BH, BW)[0]
     ctx = frag.attr_ctx
-    if mode == "c":
-        sel_k, w_k, ids_c, pos_c, counts_c, perm = ctx
-    else:
-        sel_k, w_k, mask_k, ids_p, perm = ctx
-    if perm is None:
-        perm = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
     st = (B, P, P_pad, C, int(n_vert), bool(interpret))
     if mode == "c":
-        return _sample_core_c(st, w_k, sel_k, ids_c, pos_c, counts_c, perm,
-                              aug_k)
-    st = st + (int(bh_bw), int(chunk_or_mmax))
-    return _sample_core_g(st, w_k, sel_k, mask_k, ids_p, perm, aug_k)
+        sel_k, w_k, ids_c, pos_c, counts_c, perm = ctx
+        out = _sample_core_c(st, w_k, sel_k, ids_c, pos_c, counts_c, perm,
+                             aug_k)
+    else:
+        sel_k, w_k, mask_k, ids_p, perm = ctx
+        st = st + (int(bh_bw), int(chunk_or_mmax))
+        out = _sample_core_g(st, w_k, sel_k, mask_k, ids_p, perm, aug_k)
+    # the segment_sum fallback follows dtype promotion from (image, weights);
+    # the fused kernels compute in f32 — cast back so TPU and CPU agree
+    dt = jnp.result_type(image.dtype, frag.vert_weight.dtype)
+    return out[0].astype(dt), out[1].astype(dt)
 
 
 def sample_features(frag, image: jax.Array, n_vert: Optional[int] = None):
