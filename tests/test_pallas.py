@@ -36,9 +36,11 @@ def _random_inputs(rng, nb=3, R=16, M=256, P=40):
     return jnp.asarray(rf), jnp.asarray(cf), jnp.asarray(ci)
 
 
-def test_pallas_select_matches_xla(rng):
+@pytest.mark.parametrize("K", [6, 40])
+def test_pallas_select_matches_xla(rng, K):
+    """K=40 exercises the v1 kernel's large-K fori_loop extraction."""
     rf, cf, ci = _random_inputs(rng)
-    thr_act, K = 4.0, 6
+    thr_act = 4.0
     out_p = fine_select_pallas(rf, cf, ci, thr_act, K, ray_chunk=8, interpret=True)
     out_x = _xla_select(rf, cf, ci, thr_act, K)
     np.testing.assert_array_equal(np.asarray(out_p[0]), np.asarray(out_x[0]))
@@ -122,9 +124,11 @@ def test_mask_kernel_matches_xla(rng, K):
 
 
 @pytest.mark.slow
-def test_pallas_bwd_kernels_match_xla_bwd(rng):
+@_pytest.mark.parametrize("K", [5, 40])
+def test_pallas_bwd_kernels_match_xla_bwd(rng, K):
     """Pallas backward kernels (interpret mode) vs the XLA entry-space
-    backward on a small scene."""
+    backward on a small scene.  K=40 exercises the large-K fori_loop
+    coefficient match (one-hot lane extraction)."""
     import math
     import voge_tpu.ops.fine as F
     from voge_tpu.ops.pallas_bwd import fine_bwd_gauss_pallas, fine_bwd_rays_pallas
@@ -132,7 +136,7 @@ def test_pallas_bwd_kernels_match_xla_bwd(rng):
     from voge_tpu.rays import camera_rays
     from voge_tpu.ops.coarse import overlap_mask
 
-    B, H, W, P, K = 2, 20, 20, 60, 5
+    B, H, W, P = 2, 20, 20, 60
     mus_w = rng.uniform(-1, 1, size=(P, 3)).astype(np.float32) * 0.8
     a = rng.uniform(-1, 1, size=(P, 3, 3)).astype(np.float32)
     isig = np.einsum("pij,pkj->pik", a, a) + 2 * np.eye(3, dtype=np.float32)

@@ -4,6 +4,7 @@ import math
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 import voge_tpu.ops.fine as F
 from voge_tpu.aggregation import merge_final
@@ -75,8 +76,11 @@ def _reference_img(sel_idx_k, w_k, attr, geom):
     return out
 
 
-def test_attr_fwd_matches_oracle(rng):
-    sel_k, w_k, mask_flat, ids_p, planes, attr, geom = _scene(rng)
+@pytest.mark.parametrize("K", [6, 40])
+def test_attr_fwd_matches_oracle(rng, K):
+    """K=40 exercises the large-K fori_loop id match (one-hot lane
+    extraction) instead of the python unroll."""
+    sel_k, w_k, mask_flat, ids_p, planes, attr, geom = _scene(rng, K=K)
     img = attr_merge_fwd_pallas(
         planes, w_k, sel_k, mask_flat, ids_p, geom["bh_bw"],
         geom["cand_chunk"], interpret=True,
@@ -87,8 +91,9 @@ def test_attr_fwd_matches_oracle(rng):
     assert np.abs(ref).max() > 0
 
 
-def test_attr_bwd_matches_autodiff_of_oracle(rng):
-    sel_k, w_k, mask_flat, ids_p, planes, attr, geom = _scene(rng)
+@pytest.mark.parametrize("K", [6, 40])
+def test_attr_bwd_matches_autodiff_of_oracle(rng, K):
+    sel_k, w_k, mask_flat, ids_p, planes, attr, geom = _scene(rng, K=K)
     g = jnp.asarray(rng.rand(*(w_k.shape[:2] + (8,))).astype(np.float32))
 
     d_attr = attr_merge_bwd_attr_pallas(

@@ -30,17 +30,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from voge_tpu.ops.pallas_fine import _MAX_UNROLL_K
+
 _PREC = jax.lax.Precision.HIGHEST
+
+
+def _lane_extract(x, k, zero):
+    """x[:, k:k+1] for traced k: one-hot lane reduction of an (R, K) block."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1]), 1)
+    return jnp.sum(jnp.where(lane == k, x, zero), axis=1, keepdims=True)
 
 
 def _match_weight(sel, w, ids, R, C, K):
     """W[r, j] = sum_k (sel[r, k] == ids[j]) * w[r, k] — the per-candidate
     collapsed weight matrix (R, C)."""
-    Wc = jnp.zeros((R, C), jnp.float32)
-    for k in range(K):
-        oh = sel[:, k : k + 1] == ids
-        Wc = Wc + jnp.where(oh, w[:, k : k + 1], 0.0)
-    return Wc
+    if K <= _MAX_UNROLL_K:
+        Wc = jnp.zeros((R, C), jnp.float32)
+        for k in range(K):
+            oh = sel[:, k : k + 1] == ids
+            Wc = Wc + jnp.where(oh, w[:, k : k + 1], 0.0)
+        return Wc
+
+    def body(k, Wc):
+        oh = _lane_extract(sel, k, 0) == ids
+        return Wc + jnp.where(oh, _lane_extract(w, k, 0.0), 0.0)
+
+    return jax.lax.fori_loop(
+        0, K, body, jnp.zeros((R, C), jnp.float32), unroll=False
+    )
 
 
 def _fwd_kernel(csel_ref, cnt_ref, attr_ref, ids_ref, sel_ref, w_ref,
@@ -102,16 +119,36 @@ def _bwd_unified_kernel(csel_ref, cnt_ref, attr_ref, ids_ref, sel_ref, w_ref,
             preferred_element_type=jnp.float32, precision=_PREC,
         )
         s = jnp.where(ids >= 0, s, 0.0)
-        Wc = jnp.zeros((R, C), jnp.float32)
-        cols = []
-        for k in range(K):
-            oh = sel[:, k : k + 1] == ids
-            Wc = Wc + jnp.where(oh, w[:, k : k + 1], 0.0)
-            cols.append(jnp.sum(jnp.where(oh, s, 0.0), axis=1, keepdims=True))
         Kpad = acc_w.shape[1]
-        if Kpad > K:
-            cols.append(jnp.zeros((R, Kpad - K), jnp.float32))
-        acc_w[:] = acc_w[:] + jnp.concatenate(cols, axis=1)
+        if K <= _MAX_UNROLL_K:
+            Wc = jnp.zeros((R, C), jnp.float32)
+            cols = []
+            for k in range(K):
+                oh = sel[:, k : k + 1] == ids
+                Wc = Wc + jnp.where(oh, w[:, k : k + 1], 0.0)
+                cols.append(
+                    jnp.sum(jnp.where(oh, s, 0.0), axis=1, keepdims=True)
+                )
+            if Kpad > K:
+                cols.append(jnp.zeros((R, Kpad - K), jnp.float32))
+            acc_w[:] = acc_w[:] + jnp.concatenate(cols, axis=1)
+        else:
+            lanep = jax.lax.broadcasted_iota(jnp.int32, (1, Kpad), 1)
+
+            def body(k, carry):
+                Wc, dw = carry
+                oh = _lane_extract(sel, k, 0) == ids
+                Wc = Wc + jnp.where(oh, _lane_extract(w, k, 0.0), 0.0)
+                colk = jnp.sum(jnp.where(oh, s, 0.0), axis=1, keepdims=True)
+                return Wc, dw + jnp.where(lanep == k, colk, 0.0)
+
+            Wc, dw = jax.lax.fori_loop(
+                0, K, body,
+                (jnp.zeros((R, C), jnp.float32),
+                 jnp.zeros((R, Kpad), jnp.float32)),
+                unroll=False,
+            )
+            acc_w[:] = acc_w[:] + dw
         # d_attr[j] += sum_r W[r, j] * g_img[r]: (Ca, R) @ (R, C)
         contrib = jax.lax.dot_general(
             g, Wc, (((0,), (0,)), ((), ())),
@@ -170,14 +207,28 @@ def _bwd_w_kernel(mask_ref, attr_ref, ids_ref, sel_ref, g_ref, out_ref, acc,
             g_ref[0], attr_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
         )
-        cols = []
-        for k in range(K):
-            oh = sel[:, k : k + 1] == ids
-            cols.append(jnp.sum(jnp.where(oh, s, 0.0), axis=1, keepdims=True))
         Kpad = acc.shape[1]
-        if Kpad > K:
-            cols.append(jnp.zeros((R, Kpad - K), jnp.float32))
-        acc[:] = acc[:] + jnp.concatenate(cols, axis=1)
+        if K <= _MAX_UNROLL_K:
+            cols = []
+            for k in range(K):
+                oh = sel[:, k : k + 1] == ids
+                cols.append(
+                    jnp.sum(jnp.where(oh, s, 0.0), axis=1, keepdims=True)
+                )
+            if Kpad > K:
+                cols.append(jnp.zeros((R, Kpad - K), jnp.float32))
+            acc[:] = acc[:] + jnp.concatenate(cols, axis=1)
+        else:
+            lanep = jax.lax.broadcasted_iota(jnp.int32, (1, Kpad), 1)
+
+            def body(k, dw):
+                oh = _lane_extract(sel, k, 0) == ids
+                colk = jnp.sum(jnp.where(oh, s, 0.0), axis=1, keepdims=True)
+                return dw + jnp.where(lanep == k, colk, 0.0)
+
+            acc[:] = acc[:] + jax.lax.fori_loop(
+                0, K, body, jnp.zeros((R, Kpad), jnp.float32), unroll=False
+            )
 
     @pl.when(c == n_c - 1)
     def _():

@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voge_tpu.ops.pallas_fine import FEAT
+from voge_tpu.ops.pallas_attr import _MAX_UNROLL_K, _lane_extract
 
 _INF = 1e10
 
@@ -46,11 +47,27 @@ def _coeffs_and_forms(rf, gf, ids, sel, gl, ga, gd, K):
     Gl = jnp.zeros((R, C), jnp.float32)
     Ga = jnp.zeros((R, C), jnp.float32)
     Gd = jnp.zeros((R, C), jnp.float32)
-    for k in range(K):
-        oh = sel[:, k : k + 1] == gidx                           # (R, C)
-        Gl = Gl + jnp.where(oh, gl[:, k : k + 1], 0.0)
-        Ga = Ga + jnp.where(oh, ga[:, k : k + 1], 0.0)
-        Gd = Gd + jnp.where(oh, gd[:, k : k + 1], 0.0)
+    if K <= _MAX_UNROLL_K:
+        for k in range(K):
+            oh = sel[:, k : k + 1] == gidx                       # (R, C)
+            Gl = Gl + jnp.where(oh, gl[:, k : k + 1], 0.0)
+            Ga = Ga + jnp.where(oh, ga[:, k : k + 1], 0.0)
+            Gd = Gd + jnp.where(oh, gd[:, k : k + 1], 0.0)
+    else:
+        # large K: one compiled body (compile time of the unroll grows
+        # ~linearly in K — see ops/pallas_attr.py); slot k extracted with a
+        # one-hot lane sum (dynamic lane slicing does not lower in Mosaic)
+        def body(k, carry):
+            Gl, Ga, Gd = carry
+            oh = _lane_extract(sel, k, 0) == gidx
+            Gl = Gl + jnp.where(oh, _lane_extract(gl, k, 0.0), 0.0)
+            Ga = Ga + jnp.where(oh, _lane_extract(ga, k, 0.0), 0.0)
+            Gd = Gd + jnp.where(oh, _lane_extract(gd, k, 0.0), 0.0)
+            return Gl, Ga, Gd
+
+        Gl, Ga, Gd = jax.lax.fori_loop(
+            0, K, body, (Gl, Ga, Gd), unroll=False
+        )
     # padding candidates (id == -1) match invalid selections (also -1); in
     # a compacted table they carry real gathered features, so gate them out
     ok = (gidx >= 0).astype(jnp.float32)

@@ -44,6 +44,15 @@ from jax.experimental.pallas import tpu as pltpu
 FEAT = 16
 _SENTINEL = 1e10
 
+# Largest K whose per-slot loops (top-K extraction passes, erf compositing
+# sweeps, id-match loops) are python-unrolled inside the kernels.  Beyond
+# it the loops run as ``lax.fori_loop``: Mosaic compile time and the live
+# temporary set grow ~linearly with the unroll (K=80 pushed a single XLA
+# compile of the ExtractTexture forward past the bench's 600 s subprocess
+# budget), while the loop body compiles once.  Canonical definition —
+# pallas_fine2 / pallas_attr / pallas_bwd import it from here.
+_MAX_UNROLL_K = 32
+
 # Largest padded candidate/Gaussian count for which the unified backward
 # kernels (fine_bwd_unified_pallas, attr_merge_bwd_unified_pallas) may hold
 # a full-width (FEAT x P_pad f32) per-Gaussian output block VMEM-resident;
@@ -86,8 +95,7 @@ def _kernel(rf_ref, cf_ref, ci_ref, oi_ref, ol_ref, oa_ref, od_ref, *,
     idx_b = jnp.broadcast_to(idx, (R, M))
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1)
 
-    out_i, out_l, out_a, out_d = [], [], [], []
-    for _ in range(K):
+    def _extract(lm):
         lmin = jnp.min(lm, axis=1, keepdims=True)            # (R, 1)
         am = jnp.argmin(lm, axis=1)                           # (R,)
         oh = lane == am[:, None]                              # (R, M)
@@ -95,16 +103,49 @@ def _kernel(rf_ref, cf_ref, ci_ref, oi_ref, ol_ref, oa_ref, od_ref, *,
         a_sel = jnp.sum(jnp.where(oh, act, 0.0), axis=1, keepdims=True)
         d_sel = jnp.sum(jnp.where(oh, ksk, 0.0), axis=1, keepdims=True)
         i_sel = jnp.sum(jnp.where(oh, idx_b, 0), axis=1, keepdims=True)
-        out_l.append(jnp.where(valid, lmin, _SENTINEL))
-        out_a.append(jnp.where(valid, a_sel, _SENTINEL))
-        out_d.append(jnp.where(valid, d_sel, 0.0))
-        out_i.append(jnp.where(valid, i_sel, -1))
-        lm = jnp.where(oh, _SENTINEL, lm)
+        row = (jnp.where(valid, lmin, _SENTINEL),
+               jnp.where(valid, a_sel, _SENTINEL),
+               jnp.where(valid, d_sel, 0.0),
+               jnp.where(valid, i_sel, -1))
+        return row, jnp.where(oh, _SENTINEL, lm)
 
-    oi_ref[0] = jnp.concatenate(out_i, axis=1)
-    ol_ref[0] = jnp.concatenate(out_l, axis=1)
-    oa_ref[0] = jnp.concatenate(out_a, axis=1)
-    od_ref[0] = jnp.concatenate(out_d, axis=1)
+    if K <= _MAX_UNROLL_K:
+        out_i, out_l, out_a, out_d = [], [], [], []
+        for _ in range(K):
+            (l_r, a_r, d_r, i_r), lm = _extract(lm)
+            out_l.append(l_r)
+            out_a.append(a_r)
+            out_d.append(d_r)
+            out_i.append(i_r)
+        oi_ref[0] = jnp.concatenate(out_i, axis=1)
+        ol_ref[0] = jnp.concatenate(out_l, axis=1)
+        oa_ref[0] = jnp.concatenate(out_a, axis=1)
+        od_ref[0] = jnp.concatenate(out_d, axis=1)
+    else:
+        # large K: one compiled body (unroll compile time grows ~linearly
+        # in K — see ops/pallas_fine2.py); slot k placed with a one-hot
+        # lane select
+        laneK = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+
+        def body(k, carry):
+            lm, oi, ol, oa, od = carry
+            (l_r, a_r, d_r, i_r), lm = _extract(lm)
+            put = laneK == k
+            return (lm,
+                    jnp.where(put, i_r, oi), jnp.where(put, l_r, ol),
+                    jnp.where(put, a_r, oa), jnp.where(put, d_r, od))
+
+        init = (lm,
+                jnp.full((R, K), -1, jnp.int32),
+                jnp.full((R, K), _SENTINEL, jnp.float32),
+                jnp.full((R, K), _SENTINEL, jnp.float32),
+                jnp.zeros((R, K), jnp.float32))
+        _, oi, ol, oa, od = jax.lax.fori_loop(0, K, body, init,
+                                              unroll=False)
+        oi_ref[0] = oi
+        ol_ref[0] = ol
+        oa_ref[0] = oa
+        od_ref[0] = od
 
 
 def fine_select_pallas(

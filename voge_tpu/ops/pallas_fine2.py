@@ -37,18 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from voge_tpu.ops.pallas_fine import FEAT
+from voge_tpu.ops.pallas_fine import FEAT, _MAX_UNROLL_K
 
 _INF = 1e10
 _RUNW = 128  # running-state lane width (>= K, lane-aligned)
-
-# Largest K whose per-slot loops (top-K extraction passes, erf compositing
-# sweeps) are python-unrolled in the kernels.  Beyond it the loops run as
-# ``lax.fori_loop`` with dynamic sublane reads/writes: Mosaic compile time
-# and the live temporary set grow ~linearly with the unroll (K=80 pushed a
-# single XLA compile of the ExtractTexture forward past the bench's 600 s
-# subprocess budget), while the loop body compiles once.
-_MAX_UNROLL_K = 32
 
 
 def _erf32(x):
