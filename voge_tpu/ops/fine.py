@@ -469,7 +469,10 @@ def _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min=0,
         cand_chunk=cand_chunk, B=B, H=H, W=W, P=P, BH=BH, BW=BW,
         bsh=bsh, bsw=bsw, R=R, R_pad=R_pad,
     )
-    M_max = _pick_m_max(P_pad, bh_bw, cand_chunk, m_min)
+    # m_min (user per-BIN max_point_per_bin) -> per-supertile units: a 2x2
+    # supertile's union can approach 4 bins' disjoint lists (_pick_m_max)
+    m_min_st = 4 * m_min if grouped else m_min
+    M_max = _pick_m_max(P_pad, bh_bw, cand_chunk, m_min_st)
     # For small scenes the capacity approaches P_pad and the compaction
     # (argsort + gathers + scatter-back) costs more than it saves; stream
     # the global candidate space instead.
@@ -501,7 +504,14 @@ def _pick_m_max(
     workloads), at least 256, at most all of them.  A user-supplied
     ``max_point_per_bin`` acts as a lower bound (``m_min``) — the escape
     hatch for skewed scenes whose densest supertile exceeds the heuristic
-    (the dropped-member count is surfaced either way).  The floor matters
+    (the dropped-member count is surfaced either way).  ``m_min`` is in
+    PER-SUPERTILE units: callers on the grouped (2x2-bin supertile) paths
+    must scale the user's per-BIN ``max_point_per_bin`` by 4 first — a
+    supertile's candidate union can approach the disjoint sum of its four
+    bins' lists, and the reference contract is that a ``max_point_per_bin``
+    covering the densest BIN never truncates (round-3 fix: the occlusion
+    parity config overflowed 3229 members through a supertile capacity fed
+    with per-bin units).  The floor matters
     for SMALL scenes: every hot kernel (select, fine backward, attribute
     compositing) scans O(K * M_max) candidate rows per supertile, so a
     floor near the real occupancy (256 covers the 1K-Gaussian benchmark's
@@ -1181,7 +1191,9 @@ def ray_tracing(
         cc_align = max(cc, _pick_cand_chunk_bwd(P))
         P_pad = _ceil_to(max(P, cc_align), cc_align)
         bh_bw = ((BH + 1) // 2) * ((BW + 1) // 2) if grouped else BH * BW
-        M_max = _pick_m_max(P_pad, bh_bw, cc, m_min)
+        # per-BIN max_point_per_bin -> per-supertile capacity units
+        M_max = _pick_m_max(P_pad, bh_bw, cc,
+                            4 * m_min if grouped else m_min)
         if grouped and 2 * M_max < P_pad:
             # Emission-compacted coarse stage: one flat ~9P-key sort builds
             # the per-supertile candidate rows directly — no (bins, P) mask,
