@@ -41,7 +41,10 @@ def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
 
     from voge_tpu.cameras import look_at_view_transform
     from voge_tpu.converter import Cuboid
-    from voge_tpu.renderer import render_pipeline, interpolate_attr, get_silhouette
+    from voge_tpu.renderer import (
+        render_pipeline, interpolate_attr, get_silhouette,
+        precompute_camera_ctx,
+    )
 
     g = Cuboid.cuboid_gauss(
         (-1, 1), (-1, 1), (-1, 1), n_gauss, percentage=0.6, as_obj=True
@@ -53,11 +56,19 @@ def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
     focal = jnp.asarray([[300.0, 300.0]])
     principal = jnp.asarray([[image_size[1] / 2, image_size[0] / 2]])
     target = jnp.ones((1,) + tuple(image_size) + (3,)) * 0.5
+    # camera-static context: the fitting loop's cameras never change, so
+    # the ray features are precomputed once (the library pattern a user
+    # fitting scenes would use; GaussianRenderer does this automatically)
+    cam_ctx = precompute_camera_ctx(
+        R, T, focal, principal, tuple(image_size), verts.shape[0],
+        max_assign=max_assign,
+    )
 
     def loss_fn(verts, sigmas, colors):
         frag = render_pipeline(
             verts, sigmas, R, T, focal, principal,
             image_size=tuple(image_size), max_assign=max_assign,
+            cam_ctx=cam_ctx,
         )
         img = interpolate_attr(frag, colors)
         sil = get_silhouette(frag)
@@ -79,7 +90,7 @@ def build_fwd_pointcloud(n_points=100000, image_size=(320, 320)):
 
     from voge_tpu.cameras import look_at_view_transform
     from voge_tpu.converter.converters import fixed_pointcloud_converter
-    from voge_tpu.renderer import render_pipeline
+    from voge_tpu.renderer import render_pipeline, precompute_camera_ctx
 
     rng = np.random.RandomState(0)
     pts = rng.uniform(-1, 1, size=(n_points, 3)).astype(np.float32)
@@ -88,11 +99,15 @@ def build_fwd_pointcloud(n_points=100000, image_size=(320, 320)):
     R, T = look_at_view_transform(dist=4, elev=20, azim=30)
     focal = jnp.asarray([[400.0, 400.0]])
     principal = jnp.asarray([[160.0, 160.0]])
+    cam_ctx = precompute_camera_ctx(
+        R, T, focal, principal, tuple(image_size), verts.shape[0],
+        max_assign=20,
+    )
 
     def fwd(v):
         frag = render_pipeline(
             v, isig, R, T, focal, principal, image_size=tuple(image_size),
-            max_assign=20,
+            max_assign=20, cam_ctx=cam_ctx,
         )
         return frag.vert_weight
 
@@ -128,11 +143,16 @@ def build_occlusion():
     focal = jnp.asarray([[300.0, 300.0]])
     principal = jnp.asarray([[200.0, 200.0]])
     target = jnp.ones((1, 400, 400, 3)) * 0.5
+    from voge_tpu.renderer import precompute_camera_ctx
+    cam_ctx = precompute_camera_ctx(
+        R, T, focal, principal, (400, 400), int(verts.shape[0]),
+        max_assign=60, max_point_per_bin=1500,
+    )
 
     def loss_fn(verts, sigmas, colors):
         frag = render_pipeline(
             verts, sigmas, R, T, focal, principal, image_size=(400, 400),
-            max_assign=60, max_point_per_bin=1500,
+            max_assign=60, max_point_per_bin=1500, cam_ctx=cam_ctx,
         )
         img = interpolate_attr(frag, colors)
         sil = get_silhouette(frag)
@@ -171,11 +191,15 @@ def build_texture():
     principal = jnp.asarray([[336.0, 128.0]])
     rng = np.random.RandomState(0)
     image = jnp.asarray(rng.uniform(size=(1, 256, 672, 3)).astype(np.float32))
+    from voge_tpu.renderer import precompute_camera_ctx
+    cam_ctx = precompute_camera_ctx(
+        R, T, focal, principal, (256, 672), int(n_vert), max_assign=80,
+    )
 
     def extract_and_rerender(verts, sigmas, image):
         frag = render_pipeline(
             verts, sigmas, R, T, focal, principal, image_size=(256, 672),
-            max_assign=80,
+            max_assign=80, cam_ctx=cam_ctx,
         )
         feat, wsum = sample_features(frag, image, n_vert=n_vert)
         texture = feat / (1e-8 + wsum[:, None])
@@ -218,11 +242,16 @@ def build_shapefit_iter():
     principal = jnp.broadcast_to(jnp.asarray([[64.0, 64.0]]), (B, 2))
     t_sil = jnp.zeros((B, 128, 128))
     t_rgb = jnp.ones((B, 128, 128, 3)) * 0.3
+    from voge_tpu.renderer import precompute_camera_ctx
+    cam_ctx = precompute_camera_ctx(
+        R, T, focal, principal, (128, 128), int(verts.shape[0]),
+        max_assign=25, max_point_per_bin=-1,
+    )
 
     def loss_fn(verts, colors):
         frag = render_pipeline(
             verts, sigmas, R, T, focal, principal, image_size=(128, 128),
-            max_assign=25, max_point_per_bin=-1,
+            max_assign=25, max_point_per_bin=-1, cam_ctx=cam_ctx,
         )
         rgb = interpolate_attr(frag, colors)
         sil = get_silhouette(frag)

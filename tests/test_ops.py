@@ -484,3 +484,83 @@ def test_select_all_k_equals_p(rng):
         np.asarray(sel[1]).reshape(-1, K), np.asarray(sl2), rtol=1e-5,
         atol=1e-5
     )
+
+
+@pytest.mark.parametrize("case", ["plain", "big", "capped"])
+def test_emit_supertile_dst_mapping(case):
+    """``return_dst=True``: the inverse emission mapping must be an exact
+    bijection onto the occupied compacted slots — gathering gradient rows
+    through it equals the segment_sum scatter-back (the fine backward's
+    round-3 fast path, ops/pallas_bwd._gather_back)."""
+    from voge_tpu.ops.pallas_bwd import _gather_back
+
+    rng = np.random.RandomState(99)
+    B = 1
+    H, W, P, thr, bin_size = 33, 47, 60, 0.01, 10
+    mus, isig = _scene(rng, P=P, seed_spread=0.8)
+    isig = isig * 100.0
+    if case == "big":
+        isig = isig.at[7].set(jnp.eye(3) * 5e-4)  # global member
+    M_max = 8 if case == "capped" else 64
+    R, T, focal, principal = _camera(B)
+    _, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = mus[None] - origins[:, None, :]
+    isig_b = isig[None]
+    pos_c, bits_c, ids_c, counts_c, overflow_c, dst = jax.tree.map(
+        np.asarray,
+        coarse.emit_supertile_candidates(
+            R, T, focal, principal, mus_cam, isig_b, (H, W), thr,
+            bin_size, M_max, return_dst=True,
+        ),
+    )
+    dst_l, dst_g, gpos, g_valid = dst
+    nb = pos_c.shape[0]
+
+    # 1. every valid local destination slot holds exactly that Gaussian
+    seen = set()
+    for p in range(P):
+        for w in range(9):
+            d = int(dst_l[0, p, w])
+            if d < 0:
+                continue
+            row, rank = d // M_max, d % M_max
+            assert rank < int(counts_c[row])
+            assert int(pos_c[row, rank]) == p, (p, w, row, rank)
+            assert d not in seen
+            seen.add(d)
+    for gi in range(dst_g.shape[1]):
+        for s in range(dst_g.shape[2]):
+            d = int(dst_g[0, gi, s])
+            if d < 0:
+                continue
+            assert bool(g_valid[0, gi])
+            row, rank = d // M_max, d % M_max
+            assert int(pos_c[row, rank]) == int(gpos[0, gi])
+            assert d not in seen
+            seen.add(d)
+    # 2. ...and they cover every occupied slot exactly once (bijection)
+    want = {int(r) * M_max + t for r in range(nb)
+            for t in range(int(counts_c[r]))}
+    assert seen == want
+
+    # 3. gather-back == segment_sum scatter-back on random gradient rows
+    FEAT = 16
+    rows = jnp.asarray(
+        rng.normal(size=(nb * M_max, FEAT)).astype(np.float32)
+    )
+    # zero the inert padding slots like the kernel's masked output
+    iota = np.arange(M_max)[None, :]
+    valid_t = (iota < counts_c[:, None]).reshape(-1)
+    rows = rows * jnp.asarray(valid_t[:, None].astype(np.float32))
+    P_pad = 64
+    gg_gather = _gather_back(
+        rows, jax.tree.map(jnp.asarray, dst), B, P_pad, nb * M_max
+    )
+    img = np.arange(nb, dtype=np.int32)[:, None] // nb
+    flat = np.where(valid_t.reshape(nb, M_max),
+                    img * P_pad + pos_c, B * P_pad).reshape(-1)
+    summed = jax.ops.segment_sum(rows, jnp.asarray(flat),
+                                 num_segments=B * P_pad + 1)
+    gg_scatter = np.asarray(summed[: B * P_pad]).reshape(B, P_pad, FEAT)
+    np.testing.assert_allclose(np.asarray(gg_gather), gg_scatter,
+                               rtol=1e-6, atol=1e-6)

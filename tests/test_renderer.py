@@ -211,3 +211,50 @@ def test_inverse_sigma_setting():
         np.asarray(frag_b.vert_weight).sum(-1),
         rtol=1e-3, atol=0.02,
     )
+
+
+def test_camera_ctx_matches_plain_render(rng):
+    """render_pipeline(cam_ctx=...) must reproduce the plain call — same
+    math on the same cameras.  Exact bit-identity is NOT promised: the ctx
+    builds its rays eagerly while the plain path builds them inside the jit
+    program, so ray components can differ by 1 ulp, which the exp(-act)
+    chain amplifies (act scales with 1/sigma^2).  Selections must agree on
+    all but knife-edge pixels and weights/gradients to fp tolerance."""
+    import jax
+    from voge_tpu.renderer import precompute_camera_ctx, render_pipeline
+    from voge_tpu.cameras import look_at_view_transform
+
+    P, H, W, K = 120, 40, 48, 8
+    verts = jnp.asarray(rng.uniform(-1, 1, size=(P, 3)).astype(np.float32))
+    sig = jnp.asarray(
+        (rng.uniform(0.5, 1.5, size=(P,)) * 4e-3).astype(np.float32)
+    )
+    R, T = look_at_view_transform(dist=4, elev=15, azim=30)
+    focal = jnp.asarray([[60.0, 60.0]])
+    principal = jnp.asarray([[W / 2, H / 2]])
+    kwargs = dict(image_size=(H, W), max_assign=K)
+    ctx = precompute_camera_ctx(R, T, focal, principal, (H, W), P,
+                                max_assign=K)
+
+    f0 = render_pipeline(verts, sig, R, T, focal, principal, **kwargs)
+    f1 = render_pipeline(verts, sig, R, T, focal, principal,
+                         cam_ctx=ctx, **kwargs)
+    i0, i1 = np.asarray(f0.vert_index), np.asarray(f1.vert_index)
+    agree = (i0 == i1).all(-1)
+    assert agree.mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(f1.vert_weight)[agree], np.asarray(f0.vert_weight)[agree],
+        rtol=1e-2, atol=1e-4,
+    )
+
+    def loss(v, s, ctx_arg):
+        frag = render_pipeline(v, s, R, T, focal, principal,
+                               cam_ctx=ctx_arg, **kwargs)
+        return jnp.sum(frag.vert_weight ** 2)
+
+    g0 = jax.grad(lambda v, s: loss(v, s, None), argnums=(0, 1))(verts, sig)
+    g1 = jax.grad(lambda v, s: loss(v, s, ctx), argnums=(0, 1))(verts, sig)
+    for a, b in zip(g1, g0):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-30)
+        assert rel < 5e-3, rel

@@ -42,12 +42,14 @@ from voge_tpu import timing
 
 from voge_tpu.meshes import GaussianMeshes, GaussianMeshesNaive
 from voge_tpu.renderer import (
+    CameraCtx,
     Fragments,
     GaussianRenderer,
     GaussianRenderSettings,
     interpolate_attr,
     get_overflow_points,
     get_silhouette,
+    precompute_camera_ctx,
     to_colored_background,
     to_white_background,
 )

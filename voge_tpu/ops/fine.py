@@ -927,20 +927,19 @@ _rt_fine_kern.defvjp(_rt_fine_kern_fwd, _rt_fine_kern_bwd)
 
 def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
                           counts_c, thr_act, bin_size, K, agg_ow=None,
-                          return_raw=False):
+                          return_raw=False, rf_c=None):
     """Primal for the pre-compacted fine selection: gather the candidate
     feature table by ``pos_c`` and run the streaming select kernel.  Returns
-    (sel4 kernel-layout, residual tensors)."""
+    (sel4 kernel-layout, residual tensors).  ``rf_c``, when given, is the
+    precomputed (nb, R_pad, FEAT) kernel-layout ray-feature planes (they
+    are camera-static; building them costs ~1 ms per step at 256² and XLA
+    cannot hoist it out of a fitting loop's jitted step)."""
     from voge_tpu.ops.pallas_fine2 import (
         fine_select_compact_pallas,
         prefix_visit_lists,
     )
 
     B, P = mus.shape[0], mus.shape[1]
-    _, H, W, _ = rays.shape
-    bsh, bsw = bin_size
-    BH = (H - 1) // bsh + 1
-    BW = (W - 1) // bsw + 1
     nb, M_max = pos_c.shape
     nst = nb // B
     cc = _pick_cand_chunk(P)
@@ -956,8 +955,15 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
         nb, M_max, FEAT
     )
 
-    rays_feat, _R, _R_pad = _rays_features(rays, BH, BW, bsh, bsw)
-    rf_k, _, _ = _group_supertiles(rays_feat, B, BH, BW)
+    if rf_c is None:
+        _, H, W, _ = rays.shape
+        bsh, bsw = bin_size
+        BH = (H - 1) // bsh + 1
+        BW = (W - 1) // bsw + 1
+        rays_feat, _R, _R_pad = _rays_features(rays, BH, BW, bsh, bsw)
+        rf_k, _, _ = _group_supertiles(rays_feat, B, BH, BW)
+    else:
+        rf_k = rf_c
     rays_t = jnp.swapaxes(rf_k, 1, 2)
     csel, cnts = prefix_visit_lists(counts_c, M_max, cc)
     sel = fine_select_compact_pallas(
@@ -971,8 +977,9 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
     return sel, (rf_k, table_c)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
 def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
+                    dst_l, dst_g, gpos, g_valid, rf_c,
                     thr_act, bin_size, K, agg_ow=None):
     """Fine selection over emission-compacted candidates (KERNEL layout).
 
@@ -980,38 +987,42 @@ def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
     custom-VJP boundary — it is discrete selection, non-differentiable by
     construction (like the reference's ``_RasterizeCoarse``,
     ``RayTracing.py:147-151``); gradients flow through the gathered feature
-    table only."""
+    table only.  ``dst_l``/``dst_g``/``gpos``/``g_valid`` are the inverse
+    emission mapping (``emit_supertile_candidates(return_dst=True)``): the
+    backward gathers each Gaussian's gradient rows from its <= 9 compacted
+    slots instead of a segment_sum scatter over all nb*M_max rows."""
     return _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K, agg_ow,
+        bin_size, K, agg_ow, rf_c=rf_c,
     )[0]
 
 
 def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
+                        dst_l, dst_g, gpos, g_valid, rf_c,
                         thr_act, bin_size, K, agg_ow=None):
     want_raw = agg_ow is not None
     out = _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K, agg_ow, return_raw=want_raw,
+        bin_size, K, agg_ow, return_raw=want_raw, rf_c=rf_c,
     )
     sel, saved = out[0], out[1]
     rf_k, table_c = saved
     sel_lad = out[2] if want_raw else None
-    res = (mus, isigmas, rays, sel[0], pos_c, bits_c, ids_c, counts_c,
-           rf_k, table_c, sel_lad)
+    res = (mus, isigmas, rays.shape, sel[0], pos_c, bits_c, ids_c, counts_c,
+           dst_l, dst_g, gpos, g_valid, rf_c, rf_k, table_c, sel_lad)
     return sel, res
 
 
 def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, res, g):
     from voge_tpu.ops.pallas_bwd import fine_bwd_compact_pallas
 
-    (mus, isigmas, rays, sel_idx_k, pos_c, bits_c, ids_c, counts_c,
-     rf_k, table_c, sel_lad) = res
+    (mus, isigmas, rays_shape, sel_idx_k, pos_c, bits_c, ids_c, counts_c,
+     dst_l, dst_g, gpos_g, g_valid, rf_c, rf_k, table_c, sel_lad) = res
     if agg_ow is not None:
         g = _fold_weight_cotangent(g, sel_lad, agg_ow)
     _, g_len_k, g_act_k, g_dsd_k = g
     B, P = mus.shape[0], mus.shape[1]
-    _, H, W, _ = rays.shape
+    _, H, W, _ = rays_shape
     bsh, bsw = bin_size
     BH = (H - 1) // bsh + 1
     BW = (W - 1) // bsw + 1
@@ -1025,6 +1036,7 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, res, g):
         sel_idx_k, g_len_k, g_act_k, g_dsd_k,
         K=K, B=B, P_pad=P_pad,
         ray_chunk=_pick_rc_bwd(rf_k.shape[1], K, cc), cand_chunk=cc,
+        dst=(dst_l, dst_g, gpos_g, g_valid),
     )
     grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
     grad_isg = jnp.stack(
@@ -1032,8 +1044,12 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, res, g):
     ).reshape(B, P, 3, 3)
     grad_rays = unbin_kern(rb[..., 0:3], B, BH, BW, H, W, bsh, bsw, True)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    # rf_c is documented camera-static (a cache of f(rays)); its cotangent
+    # is zero — camera gradients flow through the ``rays`` argument
+    g_rf_c = None if rf_c is None else jnp.zeros_like(rf_c)
     return (grad_mus, grad_isg, grad_rays,
-            f0(pos_c), f0(bits_c), f0(ids_c), f0(counts_c))
+            f0(pos_c), f0(bits_c), f0(ids_c), f0(counts_c),
+            f0(dst_l), f0(dst_g), f0(gpos_g), f0(g_valid), g_rf_c)
 
 
 _rt_fine_kern_c.defvjp(_rt_fine_kern_c_fwd, _rt_fine_kern_c_bwd)
@@ -1070,12 +1086,42 @@ def ray_tracing_fine(
     )
 
 
+def production_bin_geometry(
+    image_size, n_assign: int, n_points: int,
+    bin_size: Optional[int], max_points_per_bin: Optional[int],
+):
+    """The bin geometry :func:`ray_tracing` will use — factored out so the
+    camera-context precompute (:func:`voge_tpu.renderer.
+    precompute_camera_ctx`) cannot drift from the dispatcher's choice.
+
+    TPU default geometry for small / no-coarse scenes: 16-pixel bins make
+    each 2x2-bin supertile exactly 4*256 = 1024 lanes (the reference's
+    bin_size=10 floor leaves 416 of 512 lanes used, a 23% per-ray tax in
+    EVERY kernel) and quarter the grid-step count.  Culling selectivity
+    matters more than padding for big scenes (measured 10K/256^2: bin 16
+    is 13% slower; 1K: 35% faster), so large-P scenes keep the reference
+    heuristic.  Results are bin-geometry independent (no truncation; see
+    the no-coarse regression test), so this is purely a schedule choice."""
+    bin_size_cfg, mppb = coarse_bin_config(
+        image_size, n_assign, n_points, bin_size, max_points_per_bin
+    )
+    if (
+        bin_size is None
+        and jax.default_backend() == "tpu"
+        and _kern_k_ok(n_assign)
+        and (n_points <= 4096 or mppb == -1)
+    ):
+        bin_size_cfg = max(bin_size_cfg, 16)
+    return bin_size_cfg, mppb
+
+
 def ray_tracing(
     cameras_or_params, points: jax.Array, isigmas: jax.Array,
     rays: jax.Array, image_size, thr: float, n_assign: int,
     bin_size: Optional[int] = None, max_points_per_bin: Optional[int] = None,
     return_ctx: bool = False,
     agg_ow=None,
+    rf_cache=None,
     **kwargs,
 ):
     """Coarse + fine dispatcher (reference ``RayTracing.py:12-30``).
@@ -1088,6 +1134,11 @@ def ray_tracing(
     :param agg_ow: occupation weight — when set, the erf compositing is
         fused into the selection (in-kernel on TPU) and the per-slot
         weights are returned as a 5th selection element
+    :param rf_cache: precomputed ray-feature planes from
+        :func:`voge_tpu.renderer.precompute_camera_ctx` — ray features are
+        camera-static, and XLA cannot hoist their ~1 ms construction out of
+        a fitting loop's jitted step; the cache must have been built for
+        the SAME camera/image/bin geometry (checked)
     """
     if isinstance(cameras_or_params, tuple):
         R, T, focal, principal = cameras_or_params
@@ -1096,25 +1147,9 @@ def ray_tracing(
         R, T, focal, principal = cams.batched_params(points.shape[0])
 
     B, P = points.shape[0], points.shape[1]
-    bin_size_cfg, mppb = coarse_bin_config(
+    bin_size_cfg, mppb = production_bin_geometry(
         image_size, n_assign, P, bin_size, max_points_per_bin
     )
-    if (
-        bin_size is None
-        and jax.default_backend() == "tpu"
-        and _kern_k_ok(n_assign)
-        and (P <= 4096 or mppb == -1)
-    ):
-        # TPU default geometry for small / no-coarse scenes: 16-pixel bins
-        # make each 2x2-bin supertile exactly 4*256 = 1024 lanes (the
-        # reference's bin_size=10 floor leaves 416 of 512 lanes used, a 23%
-        # per-ray tax in EVERY kernel) and quarter the grid-step count.
-        # Culling selectivity matters more than padding for big scenes
-        # (measured 10K/256^2: bin 16 is 13% slower; 1K: 35% faster), so
-        # large-P scenes keep the reference heuristic.  Results are
-        # bin-geometry independent (no truncation; see the no-coarse
-        # regression test), so this is purely a schedule choice.
-        bin_size_cfg = max(bin_size_cfg, 16)
     H, W = int(image_size[0]), int(image_size[1])
     inf = 1e10
     thr_act = -math.log(thr + 1.0 / inf)
@@ -1200,14 +1235,20 @@ def ray_tracing(
             # no per-bin argsort (those cost ~4.6 ms of the round-1 10K
             # forward's 5.9; see emit_supertile_candidates).  Candidate
             # order is ascending original index, so no permutation context.
-            pos_c, bits_c, ids_c, counts_c, overflow_c = (
+            pos_c, bits_c, ids_c, counts_c, overflow_c, dst = (
                 emit_supertile_candidates(
                     R, T, focal, principal, points, isigmas, (H, W), thr,
-                    bin_size_cfg, M_max,
+                    bin_size_cfg, M_max, return_dst=True,
                 )
             )
+            rf_c = None
+            if rf_cache is not None and rf_cache.get("geom") == (
+                H, W, bin_size_cfg
+            ):
+                rf_c = rf_cache.get("rf_k")
             sel_k = _rt_fine_kern_c(
                 points, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
+                dst[0], dst[1], dst[2], dst[3], rf_c,
                 float(thr_act), (bin_size_cfg, bin_size_cfg), int(n_assign),
                 agg_ow,
             )

@@ -360,14 +360,19 @@ def fine_bwd_compact_pallas(
     sel_b, gl_b, ga_b, gd_b,
     K: int, B: int, P_pad: int,
     ray_chunk: int, cand_chunk: int, interpret: bool = False,
+    dst=None,
 ):
     """Unified backward over the per-supertile COMPACTED candidate space.
 
-    The kernel accumulates per-(supertile, compacted-slot) gradient planes;
-    a deterministic ``segment_sum`` then scatters them back to the global
-    (sorted-space) Gaussian axis.  Invalid compacted slots (id == -1) can
+    The kernel accumulates per-(supertile, compacted-slot) gradient planes.
+    Without ``dst`` a deterministic ``segment_sum`` scatters them back to
+    the global (sorted-space) Gaussian axis (~1 ms at the 10K benchmark).
+    With ``dst`` — the inverse emission mapping from
+    ``emit_supertile_candidates(return_dst=True)`` — the scatter becomes a
+    9-wide row GATHER per Gaussian (plus an ``nst``-wide gather for the few
+    global members), ~5x cheaper.  Invalid compacted slots (id == -1) can
     match invalid selections (also -1); their contributions are routed to a
-    dump segment and dropped.
+    dump segment / dump row and dropped.
 
     :return: (gauss_grads (B, FEAT, P_pad), ray_grads (nb, R_pad, FEAT))
     """
@@ -382,8 +387,11 @@ def fine_bwd_compact_pallas(
         K=K, ray_chunk=ray_chunk, cand_chunk=cand_chunk, per_bin_cand=True,
         bh_bw=1, interpret=interpret,
     )
-    # scatter-back: (nb, FEAT, M_max) -> rows (nb*M_max, FEAT) -> global
     rows = jnp.swapaxes(gg_c, 1, 2).reshape(nb * M_max, FEAT)
+    if dst is not None:
+        gg = _gather_back(rows, dst, B, P_pad, nb * M_max)
+        return jnp.swapaxes(gg, 1, 2), rb
+    # scatter-back: (nb, FEAT, M_max) -> rows (nb*M_max, FEAT) -> global
     iota = jnp.arange(M_max, dtype=jnp.int32)[None]
     valid = iota < counts_c[:, None]
     img = jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
@@ -391,6 +399,30 @@ def fine_bwd_compact_pallas(
     summed = jax.ops.segment_sum(rows, flat, num_segments=B * P_pad + 1)
     gg = summed[: B * P_pad].reshape(B, P_pad, FEAT)
     return jnp.swapaxes(gg, 1, 2), rb
+
+
+def _gather_back(rows, dst, B: int, P_pad: int, dump: int):
+    """Per-Gaussian gradient rows via the inverse emission mapping.
+
+    ``rows``: (nb*M_max, FEAT) per-slot gradient rows; ``dst`` =
+    (dst_l (B, P, 9), dst_g (B, ng, nst), gpos (B, ng), g_valid (B, ng))
+    from ``emit_supertile_candidates(return_dst=True)``.  Returns
+    (B, P_pad, FEAT)."""
+    dst_l, dst_g, gpos, g_valid = dst
+    B_, P, nine = dst_l.shape
+    Ca = rows.shape[1]
+    rows = jnp.concatenate([rows, jnp.zeros((1, Ca), rows.dtype)], axis=0)
+    src_l = jnp.where(dst_l >= 0, dst_l, dump).reshape(-1)
+    gg = rows[src_l].reshape(B, P, nine, Ca).sum(axis=2)     # (B, P, Ca)
+    ng = dst_g.shape[1]
+    if ng:
+        src_g = jnp.where(dst_g >= 0, dst_g, dump).reshape(-1)
+        gst = rows[src_g].reshape(B, ng, -1, Ca).sum(axis=2)
+        gst = jnp.where(g_valid[..., None], gst, 0.0)
+        gg = gg.at[jnp.arange(B)[:, None], gpos].add(gst)
+    if P_pad > P:
+        gg = jnp.pad(gg, ((0, 0), (0, P_pad - P), (0, 0)))
+    return gg
 
 
 def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order, G=1):

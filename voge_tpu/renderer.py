@@ -184,6 +184,63 @@ class GaussianRenderSettings:
 # functional pipeline
 # ---------------------------------------------------------------------------
 
+@jax.tree_util.register_pytree_node_class
+class CameraCtx:
+    """Precomputed camera-static tensors for :func:`render_pipeline`.
+
+    Ray directions/origins and the kernel-layout ray-feature planes depend
+    only on (R, T, focal, principal, image geometry).  In a fitting loop
+    they are identical every step, but XLA cannot hoist their ~1 ms
+    construction out of the jitted step (the camera arrays are embedded
+    constants, too large to constant-fold).  Build once with
+    :func:`precompute_camera_ctx` and pass via ``cam_ctx=``;
+    :class:`GaussianRenderer` does this caching automatically.  The context
+    must match the camera parameters actually passed — it is an
+    optimization cache, not an override (gradients w.r.t. cameras flow
+    through the live ``R/T/focal/principal`` arguments; contexts built
+    from them are treated as constants)."""
+
+    def __init__(self, rays, origins, rf_k, geom):
+        self.rays = rays
+        self.origins = origins
+        self.rf_k = rf_k
+        self.geom = geom  # (H, W, bin_size) the rf_k planes were built for
+
+    def tree_flatten(self):
+        return (self.rays, self.origins, self.rf_k), self.geom
+
+    @classmethod
+    def tree_unflatten(cls, geom, leaves):
+        return cls(leaves[0], leaves[1], leaves[2], geom)
+
+
+def precompute_camera_ctx(
+    R, T, focal, principal, image_size, n_gauss: int,
+    max_assign: int = 20, bin_size=None, max_point_per_bin=None,
+) -> "CameraCtx":
+    """Build the camera-static context for :func:`render_pipeline` (see
+    :class:`CameraCtx`).  ``n_gauss``/``max_assign``/``bin_size``/
+    ``max_point_per_bin`` must match the render call — they determine the
+    bin geometry (``voge_tpu.ops.fine.production_bin_geometry``)."""
+    from voge_tpu.ops import fine as F
+
+    H, W = int(image_size[0]), int(image_size[1])
+    R = jnp.asarray(R)
+    T = jnp.asarray(T)
+    focal = jnp.asarray(focal)
+    principal = jnp.asarray(principal)
+    rays, origins = camera_rays(R, T, focal, principal, (H, W))
+    bs, _mppb = F.production_bin_geometry(
+        (H, W), max_assign, n_gauss, bin_size, max_point_per_bin
+    )
+    B = R.shape[0]
+    BH = (H - 1) // bs + 1
+    BW = (W - 1) // bs + 1
+    rays_feat, _R, _Rp = F._rays_features(rays, BH, BW, bs, bs)
+    rf_k, _, _ = F._group_supertiles(rays_feat, B, BH, BW)
+    return CameraCtx(rays, origins, rf_k, (H, W, bs))
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -203,10 +260,17 @@ def render_pipeline(
     inverse_sigma: bool = False,
     bin_size: Optional[int] = None,
     max_point_per_bin: Optional[int] = None,
+    cam_ctx: Optional["CameraCtx"] = None,
 ) -> Fragments:
     """Pure functional forward render (the body of reference
     ``Renderer.py:102-150``): generate rays, center verts on the camera,
-    scale/invert sigmas, run coarse+fine ray tracing, composite weights."""
+    scale/invert sigmas, run coarse+fine ray tracing, composite weights.
+
+    ``cam_ctx`` (optional): camera-static tensors from
+    :func:`precompute_camera_ctx` — skips the per-step ray/feature
+    construction in fitting loops.  Must have been built from the same
+    camera parameters and geometry settings (the bin-geometry tag is
+    checked; the camera arrays are trusted)."""
     sigmas = expend_sigma(sigmas)
     if verts.ndim == 2:
         verts = verts[None]
@@ -214,7 +278,10 @@ def render_pipeline(
     if verts.shape[0] == 1 and B > 1:
         verts = jnp.broadcast_to(verts, (B,) + verts.shape[1:])
 
-    rays, ray_origins = camera_rays(R, T, focal, principal, image_size)
+    if cam_ctx is not None:
+        rays, ray_origins = cam_ctx.rays, cam_ctx.origins
+    else:
+        rays, ray_origins = camera_rays(R, T, focal, principal, image_size)
 
     verts_transformed = verts - ray_origins[:, None, :]
     if sigmas.ndim == 3:
@@ -232,6 +299,9 @@ def render_pipeline(
         image_size, thr=thr_activation, n_assign=max_assign,
         bin_size=bin_size, max_points_per_bin=max_point_per_bin,
         return_ctx=True, agg_ow=float(absorptivity),
+        rf_cache=None if cam_ctx is None else {
+            "rf_k": cam_ctx.rf_k, "geom": cam_ctx.geom,
+        },
     )
     if len(sel) == 5:
         # O(K^2) erf compositing fused into the selection kernel (TPU) or
@@ -327,6 +397,7 @@ class GaussianRenderer:
         s = self.render_settings
         B = max(self.cameras.R.shape[0], 1 if verts.ndim == 2 else verts.shape[0])
         R, T, focal, principal = self.cameras.batched_params(B)
+        n_gauss = verts.shape[-2]
         return render_pipeline(
             verts, sigmas, R, T, focal, principal,
             image_size=tuple(s.image_size),
@@ -336,7 +407,35 @@ class GaussianRenderer:
             inverse_sigma=s.inverse_sigma,
             bin_size=s.bin_size,
             max_point_per_bin=s.max_point_per_bin,
+            cam_ctx=self._cached_camera_ctx(R, T, focal, principal, s,
+                                            n_gauss),
         )
+
+    def _cached_camera_ctx(self, R, T, focal, principal, s, n_gauss):
+        """Camera-static context, memoized on the concrete camera bytes —
+        fitting loops that re-render with unchanged cameras skip the ~1 ms
+        per-step ray-feature construction.  Traced cameras (this call is
+        inside a user jit/grad) skip the cache: tracers have no stable
+        bytes and gradients must flow through the live arrays."""
+        import numpy as _np
+
+        arrs = (R, T, focal, principal)
+        if any(isinstance(a, jax.core.Tracer) for a in arrs):
+            return None
+        key = (
+            tuple(_np.asarray(a).tobytes() for a in arrs),
+            tuple(s.image_size), int(s.max_assign), s.bin_size,
+            s.max_point_per_bin, int(n_gauss),
+        )
+        if getattr(self, "_cam_ctx_key", None) == key:
+            return self._cam_ctx_val
+        ctx = precompute_camera_ctx(
+            R, T, focal, principal, tuple(s.image_size), int(n_gauss),
+            max_assign=int(s.max_assign), bin_size=s.bin_size,
+            max_point_per_bin=s.max_point_per_bin,
+        )
+        self._cam_ctx_key, self._cam_ctx_val = key, ctx
+        return ctx
 
     __call__ = forward
 
