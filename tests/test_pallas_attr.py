@@ -191,7 +191,7 @@ def test_attr_merge_compact_matches_binned(rng):
 
     def f_cmp(planes_, w_):
         img = attr_merge_compact(planes_, w_, sel_k, ids_c, pos_c, counts_c,
-                                 B, True)
+                                 None, B, True)
         return jnp.sum(img * g), img
 
     (v0, img0), (ga0, gw0) = jax.value_and_grad(f_ref, argnums=(0, 1),

@@ -180,7 +180,8 @@ def _mk_frag_c(sel_idx_k, w_k, mask_k, ids_p, pts, isg, gc):
     frag = Fragments(
         vert_weight=w_img, vert_index=sel_img,
         valid_num=(sel_img >= 0).sum(-1), vert_hit_length=w_img,
-        attr_ctx=(sel_idx_k, w_k, ids_c, pos_c, counts_c, gc["perm"]),
+        attr_ctx=(sel_idx_k, w_k, ids_c, pos_c, counts_c, gc["perm"],
+                  None),
         attr_geom=geom,
     )
     return frag, sel_img, w_img

@@ -1260,7 +1260,7 @@ def ray_tracing(
                 )
             ctx = dict(
                 ids_c=ids_c, pos_c=pos_c, counts_c=counts_c,
-                overflow=overflow_c, perm=None,
+                overflow=overflow_c, perm=None, dst=dst,
                 geom=(B, H, W, BH, BW, bin_size_cfg, bin_size_cfg, True,
                       bh_bw, pos_c.shape[1], P, P_pad, "c"),
             )

@@ -235,6 +235,30 @@ def _bwd_w_kernel(mask_ref, attr_ref, ids_ref, sel_ref, g_ref, out_ref, acc,
         out_ref[0] = acc[:, :K]
 
 
+def gather_back_rows(rows, dst, B: int, P_pad: int, dump: int):
+    """Per-Gaussian gradient rows via the inverse emission mapping.
+
+    ``rows``: (nb*M_max, FEAT) per-slot gradient rows; ``dst`` =
+    (dst_l (B, P, 9), dst_g (B, ng, nst), gpos (B, ng), g_valid (B, ng))
+    from ``emit_supertile_candidates(return_dst=True)``.  Returns
+    (B, P_pad, FEAT)."""
+    dst_l, dst_g, gpos, g_valid = dst
+    B_, P, nine = dst_l.shape
+    Ca = rows.shape[1]
+    rows = jnp.concatenate([rows, jnp.zeros((1, Ca), rows.dtype)], axis=0)
+    src_l = jnp.where(dst_l >= 0, dst_l, dump).reshape(-1)
+    gg = rows[src_l].reshape(B, P, nine, Ca).sum(axis=2)     # (B, P, Ca)
+    ng = dst_g.shape[1]
+    if ng:
+        src_g = jnp.where(dst_g >= 0, dst_g, dump).reshape(-1)
+        gst = rows[src_g].reshape(B, ng, -1, Ca).sum(axis=2)
+        gst = jnp.where(g_valid[..., None], gst, 0.0)
+        gg = gg.at[jnp.arange(B)[:, None], gpos].add(gst)
+    if P_pad > P:
+        gg = jnp.pad(gg, ((0, 0), (0, P_pad - P), (0, 0)))
+    return gg
+
+
 def _spec(shape, index_map):
     return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
@@ -445,9 +469,29 @@ def _attr_cc(M_max: int) -> int:
     return max(opts) if opts else M_max
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def scatter_back_rows(rows, pos_c, counts_c, B, P_pad, dst=None):
+    """(nb*M_max, Ca) per-slot rows -> (B, P_pad, Ca) per-Gaussian rows.
+
+    With ``dst`` (the inverse emission mapping from
+    ``emit_supertile_candidates(return_dst=True)``) this is a <=9-wide row
+    GATHER per Gaussian (:func:`gather_back_rows`); without it, the
+    deterministic ``segment_sum`` scatter (~3x slower at the 10K
+    benchmark's 86K rows)."""
+    nb, M_max = pos_c.shape
+    if dst is not None:
+        return gather_back_rows(rows, dst, B, P_pad, nb * M_max)
+    Ca = rows.shape[1]
+    iota = jnp.arange(M_max, dtype=jnp.int32)[None]
+    valid = iota < counts_c[:, None]
+    img = jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
+    flat = jnp.where(valid, img * P_pad + pos_c, B * P_pad).reshape(-1)
+    summed = jax.ops.segment_sum(rows, flat, num_segments=B * P_pad + 1)
+    return summed[: B * P_pad].reshape(B, P_pad, Ca)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
 def attr_merge_compact(attr_planes, w_b, sel_b, ids_c, pos_c, counts_c,
-                       B, interpret=False):
+                       dst, B, interpret=False):
     """img_b[r] = sum_k w_b[r, k] * attr[sel_b[r, k]] over the per-supertile
     COMPACTED candidate space.
 
@@ -455,15 +499,17 @@ def attr_merge_compact(attr_planes, w_b, sel_b, ids_c, pos_c, counts_c,
         candidate order
     :param w_b / sel_b: (nb, R, K) weights / original global ids
     :param ids_c / pos_c / counts_c: compaction context from the fine stage
+    :param dst: inverse emission mapping (or None) — see
+        :func:`scatter_back_rows`; used by the backward only
     :return: (nb, R, Ca_pad)
     """
     return _attr_merge_compact_fwd(
-        attr_planes, w_b, sel_b, ids_c, pos_c, counts_c, B, interpret
+        attr_planes, w_b, sel_b, ids_c, pos_c, counts_c, dst, B, interpret
     )[0]
 
 
 def _attr_merge_compact_fwd(attr_planes, w_b, sel_b, ids_c, pos_c, counts_c,
-                            B, interpret):
+                            dst, B, interpret):
     from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
 
     P_pad = attr_planes.shape[2]
@@ -476,13 +522,13 @@ def _attr_merge_compact_fwd(attr_planes, w_b, sel_b, ids_c, pos_c, counts_c,
         attr_c, ids_row, sel_b, w_b, csel, counts,
         cand_chunk=cc, per_bin_cand=True, bh_bw=1, interpret=interpret,
     )
-    return out, (attr_c, w_b, sel_b, ids_c, pos_c, counts_c, P_pad)
+    return out, (attr_c, w_b, sel_b, ids_c, pos_c, counts_c, dst, P_pad)
 
 
 def _attr_merge_compact_bwd(B, interpret, res, g):
     from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
 
-    attr_c, w_b, sel_b, ids_c, pos_c, counts_c, P_pad = res
+    attr_c, w_b, sel_b, ids_c, pos_c, counts_c, dst, P_pad = res
     nb, M_max = pos_c.shape
     Ca = attr_c.shape[1]
     cc = _attr_cc(M_max)
@@ -492,19 +538,14 @@ def _attr_merge_compact_bwd(B, interpret, res, g):
         attr_c, ids_row, sel_b, w_b, g, csel, counts,
         cand_chunk=cc, per_bin_cand=True, bh_bw=1, interpret=interpret,
     )
-    # scatter-back to sorted space (invalid slots -> dump segment)
     rows = jnp.swapaxes(d_attr_c, 1, 2).reshape(nb * M_max, Ca)
-    iota = jnp.arange(M_max, dtype=jnp.int32)[None]
-    valid = iota < counts_c[:, None]
-    img = jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
-    flat = jnp.where(valid, img * P_pad + pos_c, B * P_pad).reshape(-1)
-    summed = jax.ops.segment_sum(rows, flat, num_segments=B * P_pad + 1)
-    d_attr = jnp.swapaxes(summed[: B * P_pad].reshape(B, P_pad, Ca), 1, 2)
-    g_sel = np.zeros(sel_b.shape, dtype=jax.dtypes.float0)
-    g_ids = np.zeros(ids_c.shape, dtype=jax.dtypes.float0)
-    g_pos = np.zeros(pos_c.shape, dtype=jax.dtypes.float0)
-    g_cnt = np.zeros(counts_c.shape, dtype=jax.dtypes.float0)
-    return d_attr, d_w, g_sel, g_ids, g_pos, g_cnt
+    d_attr = jnp.swapaxes(
+        scatter_back_rows(rows, pos_c, counts_c, B, P_pad, dst), 1, 2
+    )
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
+    g_dst = None if dst is None else jax.tree.map(f0, dst)
+    return (d_attr, d_w, f0(sel_b), f0(ids_c), f0(pos_c), f0(counts_c),
+            g_dst)
 
 
 attr_merge_compact.defvjp(_attr_merge_compact_fwd, _attr_merge_compact_bwd)

@@ -32,7 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voge_tpu.ops.pallas_fine import FEAT
-from voge_tpu.ops.pallas_attr import _MAX_UNROLL_K, _lane_extract
+from voge_tpu.ops.pallas_attr import (
+    _MAX_UNROLL_K, _lane_extract, gather_back_rows as _gather_back,
+)
 
 _INF = 1e10
 
@@ -185,23 +187,35 @@ def _bwd_unified_kernel(
     csel_ref,   # (nb, n_c) int32 SMEM: chunk visit list (scalar prefetch)
     cnt_ref,    # (nb,) int32 SMEM: occupied chunk count per bin
     gf_ref, ids_ref, rf_ref, sel_ref, gl_ref, ga_ref, gd_ref,
-    og_ref,     # (1, FEAT, P_pad) per-Gaussian gradient planes (full width)
-    or_ref,     # (1, R, FEAT) per-ray gradients (cols 0..2 used)
-    acc,        # (R, FEAT) scratch
-    *, K: int, chunk: int, bh_bw: int,
+    *refs,      # outputs + scratch, per (want_gauss, want_rays):
+                #   both:  og_ref (1, FEAT, P_pad), or_ref (1, R, FEAT), acc
+                #   gauss: og_ref
+                #   rays:  or_ref, acc
+    K: int, chunk: int, bh_bw: int,
+    want_gauss: bool = True, want_rays: bool = True,
 ):
+    if want_gauss and want_rays:
+        og_ref, or_ref, acc = refs
+    elif want_gauss:
+        (og_ref,) = refs
+        or_ref = acc = None
+    else:
+        or_ref, acc = refs
+        og_ref = None
     b = pl.program_id(0)
     r = pl.program_id(1)
     c = pl.program_id(2)
     n_c = pl.num_programs(2)
 
-    @pl.when((b % bh_bw == 0) & (r == 0) & (c == 0))
-    def _():
-        og_ref[0] = jnp.zeros_like(og_ref[0])
+    if want_gauss:
+        @pl.when((b % bh_bw == 0) & (r == 0) & (c == 0))
+        def _():
+            og_ref[0] = jnp.zeros_like(og_ref[0])
 
-    @pl.when(c == 0)
-    def _():
-        acc[:] = jnp.zeros_like(acc)
+    if want_rays:
+        @pl.when(c == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
 
     @pl.when(c < cnt_ref[b])
     def _():
@@ -214,57 +228,70 @@ def _bwd_unified_kernel(
              for i in range(3)]
         mu = [gf[13 + i : 14 + i, :] for i in range(3)]
 
-        # ---- per-Gaussian gradient planes (column reductions over rays)
-        S1 = jnp.sum(g_msm, axis=0, keepdims=True)               # (1, C)
-        Sr = [
-            jnp.sum(g_msk * rf[:, j : j + 1], axis=0, keepdims=True)
-            for j in range(3)
-        ]
-        Srr = [
-            jnp.sum(g_ksk * rf[:, 3 + q : 4 + q], axis=0, keepdims=True)
-            for q in range(9)
-        ]
-        g_mu = [
-            sum(L[i][j] * Sr[j] for j in range(3))
-            + S1 * sum((L[i][j] + L[j][i]) * mu[j] for j in range(3))
-            for i in range(3)
-        ]
-        g_L = [
-            Srr[i * 3 + j] + Sr[j] * mu[i] + S1 * mu[i] * mu[j]
-            for i in range(3)
-            for j in range(3)
-        ]
-        zero = jnp.zeros_like(S1)
-        contrib = jnp.concatenate(g_mu + g_L + [zero] * (FEAT - 12), axis=0)
-        off = csel_ref[b, c] * chunk
-        og_ref[0, :, pl.ds(off, chunk)] = (
-            og_ref[0, :, pl.ds(off, chunk)] + contrib
-        )
+        if want_gauss:
+            # ---- per-Gaussian gradient planes (column reductions over rays)
+            S1 = jnp.sum(g_msm, axis=0, keepdims=True)           # (1, C)
+            Sr = [
+                jnp.sum(g_msk * rf[:, j : j + 1], axis=0, keepdims=True)
+                for j in range(3)
+            ]
+            Srr = [
+                jnp.sum(g_ksk * rf[:, 3 + q : 4 + q], axis=0, keepdims=True)
+                for q in range(9)
+            ]
+            g_mu = [
+                sum(L[i][j] * Sr[j] for j in range(3))
+                + S1 * sum((L[i][j] + L[j][i]) * mu[j] for j in range(3))
+                for i in range(3)
+            ]
+            g_L = [
+                Srr[i * 3 + j] + Sr[j] * mu[i] + S1 * mu[i] * mu[j]
+                for i in range(3)
+                for j in range(3)
+            ]
+            zero = jnp.zeros_like(S1)
+            contrib = jnp.concatenate(
+                g_mu + g_L + [zero] * (FEAT - 12), axis=0
+            )
+            off = csel_ref[b, c] * chunk
+            og_ref[0, :, pl.ds(off, chunk)] = (
+                og_ref[0, :, pl.ds(off, chunk)] + contrib
+            )
 
-        # ---- per-ray gradients (row reductions over candidates)
-        cols = []
-        for i in range(3):
-            lam_r_i = sum(L[i][j] * rf[:, j : j + 1] for j in range(3))
-            lamT_r_i = sum(L[j][i] * rf[:, j : j + 1] for j in range(3))
-            lamT_mu_i = sum(L[j][i] * mu[j] for j in range(3))
-            term = g_ksk * (lam_r_i + lamT_r_i) + g_msk * lamT_mu_i
-            cols.append(jnp.sum(term, axis=1, keepdims=True))    # (R, 1)
-        zc = jnp.zeros_like(cols[0])
-        acc[:] = acc[:] + jnp.concatenate(cols + [zc] * (FEAT - 3), axis=1)
+        if want_rays:
+            # ---- per-ray gradients (row reductions over candidates)
+            cols = []
+            for i in range(3):
+                lam_r_i = sum(L[i][j] * rf[:, j : j + 1] for j in range(3))
+                lamT_r_i = sum(L[j][i] * rf[:, j : j + 1] for j in range(3))
+                lamT_mu_i = sum(L[j][i] * mu[j] for j in range(3))
+                term = g_ksk * (lam_r_i + lamT_r_i) + g_msk * lamT_mu_i
+                cols.append(jnp.sum(term, axis=1, keepdims=True))  # (R, 1)
+            zc = jnp.zeros_like(cols[0])
+            acc[:] = acc[:] + jnp.concatenate(
+                cols + [zc] * (FEAT - 3), axis=1
+            )
 
-    @pl.when(c == n_c - 1)
-    def _():
-        or_ref[0] = acc[:]
+    if want_rays:
+        @pl.when(c == n_c - 1)
+        def _():
+            or_ref[0] = acc[:]
 
 
 def _bwd_unified_call(
     rays_feat, gauss_planes, ids_row, csel, counts, sel_b, gl_b, ga_b, gd_b,
     K: int, ray_chunk: int, cand_chunk: int, per_bin_cand: bool,
-    bh_bw: int, interpret: bool,
+    bh_bw: int, interpret: bool, mode: str = "both",
 ):
     """Shared pallas_call for the unified backward.  ``gauss_planes``
     (NB, FEAT, C_total) / ``ids_row`` (NB, 1, C_total) are per bin
-    (NB == nb, compacted) or per image (NB == B)."""
+    (NB == nb, compacted) or per image (NB == B).
+
+    ``mode``: "both" (one fused pass, the coefficient reconstruction
+    shared), "gauss" or "rays" (single-output variants — issuing the two
+    as SEPARATE pallas_calls lets XLA dead-code the whole rays pass when
+    the cameras are not being differentiated, the common fitting loop; the
+    reconstruction is duplicated only when BOTH gradients are live)."""
     nb, R_pad, _ = rays_feat.shape
     NB, _, C_total = gauss_planes.shape
     assert R_pad % ray_chunk == 0 and C_total % cand_chunk == 0, (
@@ -283,12 +310,29 @@ def _bwd_unified_call(
         omap = lambda b, r, c, cs, ct, _bw=int(bh_bw): (b // _bw, 0, 0)
         out_bins = NB
         eff_bh_bw = bh_bw
+    want_gauss = mode in ("both", "gauss")
+    want_rays = mode in ("both", "rays")
     kernel = functools.partial(
         _bwd_unified_kernel, K=int(K), chunk=int(cand_chunk),
-        bh_bw=int(eff_bh_bw),
+        bh_bw=int(eff_bh_bw), want_gauss=want_gauss, want_rays=want_rays,
     )
     slot = pl.BlockSpec((1, ray_chunk, K), lambda b, r, c, cs, ct: (b, r, 0),
                         memory_space=pltpu.VMEM)
+    og_spec = pl.BlockSpec((1, FEAT, C_total), omap, memory_space=pltpu.VMEM)
+    og_shape = jax.ShapeDtypeStruct((out_bins, FEAT, C_total), jnp.float32)
+    or_spec = pl.BlockSpec((1, ray_chunk, FEAT),
+                           lambda b, r, c, cs, ct: (b, r, 0),
+                           memory_space=pltpu.VMEM)
+    or_shape = jax.ShapeDtypeStruct((nb, R_pad, FEAT), jnp.float32)
+    out_specs = ([og_spec] if want_gauss else []) + (
+        [or_spec] if want_rays else []
+    )
+    out_shapes = ([og_shape] if want_gauss else []) + (
+        [or_shape] if want_rays else []
+    )
+    scratch = (
+        [pltpu.VMEM((ray_chunk, FEAT), jnp.float32)] if want_rays else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb, n_r, n_c),
@@ -300,26 +344,21 @@ def _bwd_unified_call(
                          memory_space=pltpu.VMEM),
             slot, slot, slot, slot,
         ],
-        out_specs=[
-            pl.BlockSpec((1, FEAT, C_total), omap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_chunk, FEAT),
-                         lambda b, r, c, cs, ct: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[pltpu.VMEM((ray_chunk, FEAT), jnp.float32)],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((out_bins, FEAT, C_total), jnp.float32),
-            jax.ShapeDtypeStruct((nb, R_pad, FEAT), jnp.float32),
-        ],
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(csel, counts, gauss_planes, ids_row, rays_feat, sel_b, gl_b, ga_b, gd_b)
+    if mode == "both":
+        return out
+    return out[0]
 
 
 def fine_bwd_unified_pallas(
@@ -382,10 +421,15 @@ def fine_bwd_compact_pallas(
     csel, counts = prefix_visit_lists(counts_c, M_max, cand_chunk)
     planes_c = jnp.swapaxes(table_c, 1, 2)               # (nb, FEAT, M_max)
     ids_row = jnp.swapaxes(ids_c, 1, 2)                  # (nb, 1, M_max)
+    # one fused pass: the coefficient reconstruction (the dominant cost) is
+    # shared between the two outputs.  (A split into single-output "gauss"/
+    # "rays" passes was measured round-3: the rays side is too cheap for
+    # the split to register — pallas_calls are not XLA-DCE'd anyway — while
+    # pose+shape optimization would pay the reconstruction twice.)
     gg_c, rb = _bwd_unified_call(
         rays_feat, planes_c, ids_row, csel, counts, sel_b, gl_b, ga_b, gd_b,
         K=K, ray_chunk=ray_chunk, cand_chunk=cand_chunk, per_bin_cand=True,
-        bh_bw=1, interpret=interpret,
+        bh_bw=1, interpret=interpret, mode="both",
     )
     rows = jnp.swapaxes(gg_c, 1, 2).reshape(nb * M_max, FEAT)
     if dst is not None:
@@ -401,28 +445,6 @@ def fine_bwd_compact_pallas(
     return jnp.swapaxes(gg, 1, 2), rb
 
 
-def _gather_back(rows, dst, B: int, P_pad: int, dump: int):
-    """Per-Gaussian gradient rows via the inverse emission mapping.
-
-    ``rows``: (nb*M_max, FEAT) per-slot gradient rows; ``dst`` =
-    (dst_l (B, P, 9), dst_g (B, ng, nst), gpos (B, ng), g_valid (B, ng))
-    from ``emit_supertile_candidates(return_dst=True)``.  Returns
-    (B, P_pad, FEAT)."""
-    dst_l, dst_g, gpos, g_valid = dst
-    B_, P, nine = dst_l.shape
-    Ca = rows.shape[1]
-    rows = jnp.concatenate([rows, jnp.zeros((1, Ca), rows.dtype)], axis=0)
-    src_l = jnp.where(dst_l >= 0, dst_l, dump).reshape(-1)
-    gg = rows[src_l].reshape(B, P, nine, Ca).sum(axis=2)     # (B, P, Ca)
-    ng = dst_g.shape[1]
-    if ng:
-        src_g = jnp.where(dst_g >= 0, dst_g, dump).reshape(-1)
-        gst = rows[src_g].reshape(B, ng, -1, Ca).sum(axis=2)
-        gst = jnp.where(g_valid[..., None], gst, 0.0)
-        gg = gg.at[jnp.arange(B)[:, None], gpos].add(gst)
-    if P_pad > P:
-        gg = jnp.pad(gg, ((0, 0), (0, P_pad - P), (0, 0)))
-    return gg
 
 
 def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order, G=1):

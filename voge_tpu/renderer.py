@@ -346,7 +346,7 @@ def render_pipeline(
     vert_index = ub(sel_idx)
     if mode == "c":
         attr_ctx = (sel_idx, vert_weight, ctx["ids_c"], ctx["pos_c"],
-                    ctx["counts_c"], ctx["perm"])
+                    ctx["counts_c"], ctx["perm"], ctx.get("dst"))
     else:
         attr_ctx = (sel_idx, vert_weight, ctx["mask_k"], ctx["ids_p"],
                     ctx["perm"])
@@ -493,7 +493,10 @@ def _interpolate_attr_fused(fragments: Fragments, vert_attr: jax.Array):
         attr = jnp.broadcast_to(attr[None], (B, P, d))
     else:
         attr = attr.reshape(B, P, d)
-    perm = fragments.attr_ctx[-1]
+    if mode == "c":
+        perm = fragments.attr_ctx[-2]
+    else:
+        perm = fragments.attr_ctx[-1]
     if perm is not None:
         attr = jnp.take_along_axis(attr, perm[:, :, None], axis=1)
     # planes layout (B, Ca_pad, P_pad), sorted candidate order
@@ -501,10 +504,10 @@ def _interpolate_attr_fused(fragments: Fragments, vert_attr: jax.Array):
     planes = jnp.swapaxes(attr, 1, 2)
     planes = jnp.pad(planes, ((0, 0), (0, Ca - d), (0, P_pad - P)))
     if mode == "c":
-        sel_k, w_k, ids_c, pos_c, counts_c, _ = fragments.attr_ctx
+        sel_k, w_k, ids_c, pos_c, counts_c, _, dst = fragments.attr_ctx
         w_eff = jnp.where(sel_k >= 0, w_k, 0.0)
         img_k = attr_merge_compact(
-            planes, w_eff, sel_k, ids_c, pos_c, counts_c, B, False
+            planes, w_eff, sel_k, ids_c, pos_c, counts_c, dst, B, False
         )
     else:
         sel_k, w_k, mask_k, ids_p, _ = fragments.attr_ctx

@@ -88,20 +88,26 @@ def _sort_planes(g_aug: jax.Array, perm, B, P, P_pad):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _sample_core_c(st, w_k, sel_k, ids_c, pos_c, counts_c, perm, aug_k):
+def _sample_core_c(st, w_k, sel_k, ids_c, pos_c, counts_c, dst, perm,
+                   aug_k):
     """Fused sampler over the per-supertile COMPACTED candidate space.
 
     ``aug_k``: the (image ++ ones) channels binned to kernel layout
     (nst, R_kern, Ca).  Forward = the d_attr side of the attr-merge VJP
     (``pallas_attr._attr_bwd_call``); backward = (the attr-merge forward
     kernel for d_image, the d_w side for d_weight) — the adjoint pair
-    swapped."""
-    return _sample_core_c_fwd(st, w_k, sel_k, ids_c, pos_c, counts_c, perm,
-                              aug_k)[0]
+    swapped.  ``dst`` (inverse emission mapping, or None) turns the
+    per-Gaussian scatter-back into a row gather
+    (``pallas_attr.scatter_back_rows``)."""
+    return _sample_core_c_fwd(st, w_k, sel_k, ids_c, pos_c, counts_c, dst,
+                              perm, aug_k)[0]
 
 
-def _sample_core_c_fwd(st, w_k, sel_k, ids_c, pos_c, counts_c, perm, aug_k):
-    from voge_tpu.ops.pallas_attr import _attr_bwd_call, _attr_cc
+def _sample_core_c_fwd(st, w_k, sel_k, ids_c, pos_c, counts_c, dst, perm,
+                       aug_k):
+    from voge_tpu.ops.pallas_attr import (
+        _attr_bwd_call, _attr_cc, scatter_back_rows,
+    )
     from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
 
     B, P, P_pad, C, n_vert, interpret = st
@@ -116,17 +122,12 @@ def _sample_core_c_fwd(st, w_k, sel_k, ids_c, pos_c, counts_c, perm, aug_k):
         attr_zero, ids_row, sel_k, w_eff, aug_k, csel, counts,
         cand_chunk=cc, per_bin_cand=True, bh_bw=1, interpret=interpret,
     )
-    # scatter-back to the sorted global space (invalid compacted slots ->
-    # dump segment), exactly as the attr-merge VJP does
+    # back to the sorted global space, exactly as the attr-merge VJP does
     rows = jnp.swapaxes(d_attr_c, 1, 2).reshape(nb * M_max, Ca)
-    iota = jnp.arange(M_max, dtype=jnp.int32)[None]
-    valid = iota < counts_c[:, None]
-    img = jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
-    flat = jnp.where(valid, img * P_pad + pos_c, B * P_pad).reshape(-1)
-    summed = jax.ops.segment_sum(rows, flat, num_segments=B * P_pad + 1)
-    sorted_rows = summed[: B * P_pad].reshape(B, P_pad, Ca)[:, :P]
+    sorted_rows = scatter_back_rows(rows, pos_c, counts_c, B, P_pad,
+                                    dst)[:, :P]
     out = _rows_to_out(_unsort_rows(sorted_rows, perm), B, P, C, n_vert)
-    return out, (w_k, sel_k, ids_c, pos_c, counts_c, perm, aug_k)
+    return out, (w_k, sel_k, ids_c, pos_c, counts_c, dst, perm, aug_k)
 
 
 def _sample_core_c_bwd(st, res, g):
@@ -137,7 +138,7 @@ def _sample_core_c_bwd(st, res, g):
 
     B, P, P_pad, C, n_vert, interpret = st
     g_feat, g_wsum = g
-    w_k, sel_k, ids_c, pos_c, counts_c, perm, aug_k = res
+    w_k, sel_k, ids_c, pos_c, counts_c, dst, perm, aug_k = res
     nb, M_max = pos_c.shape
     Ca = aug_k.shape[-1]
     g_aug = jnp.concatenate([g_feat, g_wsum[:, None]], axis=-1)
@@ -162,8 +163,9 @@ def _sample_core_c_bwd(st, res, g):
     )
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     g_perm = None if perm is None else f0(perm)
-    return (d_w, f0(sel_k), f0(ids_c), f0(pos_c), f0(counts_c), g_perm,
-            d_aug_k)
+    g_dst = None if dst is None else jax.tree.map(f0, dst)
+    return (d_w, f0(sel_k), f0(ids_c), f0(pos_c), f0(counts_c), g_dst,
+            g_perm, d_aug_k)
 
 
 _sample_core_c.defvjp(_sample_core_c_fwd, _sample_core_c_bwd)
@@ -257,9 +259,9 @@ def _sample_features_fused(frag, image: jax.Array, n_vert: int,
     ctx = frag.attr_ctx
     st = (B, P, P_pad, C, int(n_vert), bool(interpret))
     if mode == "c":
-        sel_k, w_k, ids_c, pos_c, counts_c, perm = ctx
-        out = _sample_core_c(st, w_k, sel_k, ids_c, pos_c, counts_c, perm,
-                             aug_k)
+        sel_k, w_k, ids_c, pos_c, counts_c, perm, dst = ctx
+        out = _sample_core_c(st, w_k, sel_k, ids_c, pos_c, counts_c, dst,
+                             perm, aug_k)
     else:
         sel_k, w_k, mask_k, ids_p, perm = ctx
         st = st + (int(bh_bw), int(chunk_or_mmax))
