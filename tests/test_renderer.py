@@ -64,6 +64,27 @@ def test_quickstart_golden_snapshot(quickstart):
     assert 25000 < w.sum() < 31000
 
 
+def test_silhouette_ctx_path_matches_fallback(quickstart):
+    """get_silhouette's kernel-layout path (ctx-carrying Fragments) is a
+    permutation of the same K-sum — exact match with the unbinned
+    vert_weight fallback.  On CPU only the no-coarse path produces a ctx
+    (culled configs reserve it for the TPU kernels), so render one."""
+    gaussians, _, _, (R, T) = quickstart
+    focal = jnp.asarray([[300.0, 300.0]])
+    principal = jnp.asarray([[32.0, 32.0]])
+    frag = render_pipeline(
+        gaussians.verts, gaussians.sigmas, R, T, focal, principal,
+        image_size=(64, 64), max_assign=10, max_point_per_bin=-1,
+    )
+    assert frag.attr_ctx is not None
+    sil_ctx = np.asarray(get_silhouette(frag))
+    bare = Fragments(frag.vert_weight, frag.vert_index, frag.valid_num,
+                     frag.vert_hit_length)
+    sil_fb = np.asarray(get_silhouette(bare))
+    assert sil_fb.max() > 0.1  # scene actually renders
+    np.testing.assert_array_equal(sil_ctx, sil_fb)
+
+
 def test_interpolate_attr_matches_reference_merge(ref, quickstart):
     """Compositing through our merge_final must equal the reference torch
     merge_final on identical fragments."""

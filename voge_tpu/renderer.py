@@ -537,6 +537,27 @@ def get_overflow_points(fragments: Fragments) -> int:
 
 
 def get_silhouette(fragments: Fragments) -> jax.Array:
+    """Per-pixel silhouette = min(sum_k w_k, 1) (reference
+    ``Renderer.py:168-171``).
+
+    On ctx-carrying fragments the sum runs in KERNEL layout and only the
+    (B, H, W) result is unbinned: a loss that composites through
+    ``interpolate_attr`` and this silhouette then never reads the unbinned
+    per-slot fields at all, so XLA dead-codes the whole Fragments
+    unbin/re-bin round trip (fwd transposes + their backward re-binning of
+    the weight cotangents).  Same values either way — unbinning is a
+    permutation and the K-sum order is unchanged."""
+    ctx = getattr(fragments, "attr_ctx", None)
+    geom = getattr(fragments, "attr_geom", None)
+    if ctx is not None and geom is not None:
+        from voge_tpu.ops.fine import unbin_kern
+
+        B, H, W, BH, BW, bsh, bsw, grouped = geom[:8]
+        sel_k, w_k = ctx[0], ctx[1]
+        w = jnp.sum(jnp.where(sel_k >= 0, w_k, 0.0), axis=-1,
+                    keepdims=True)                           # (nb, R, 1)
+        img = unbin_kern(w, B, BH, BW, H, W, bsh, bsw, grouped)[..., 0]
+        return jnp.minimum(img, jnp.ones_like(img))
     merged_weight = fragments.vert_weight.sum(-1)
     return jnp.minimum(merged_weight, jnp.ones_like(merged_weight))
 
