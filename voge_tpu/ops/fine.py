@@ -516,8 +516,23 @@ def _pick_m_max(
     compositing) scans O(K * M_max) candidate rows per supertile, so a
     floor near the real occupancy (256 covers the 1K-Gaussian benchmark's
     measured max of ~125 with 2x margin) roughly halves the whole
-    pipeline vs the old 512 floor."""
-    target = max(256, 8 * P_pad // max(bins_per_image, 1), int(m_min))
+    pipeline vs the old 512 floor.
+
+    The USER floor is clamped to the largest capacity that keeps the
+    compacted path viable (``2*M_max < P_pad``): a generous per-bin cap
+    (e.g. ReasonOcclusion's 1500 on a 6.8K scene, whose densest supertile
+    holds 937 members) must not flip the pipeline onto the 2.7x-slower
+    global streaming path just to reserve room that is never used.  After
+    the clamp a supertile can only truncate if it holds more than ~half of
+    ALL Gaussians (surfaced via ``overflow_points``); the HEURISTIC
+    component is deliberately not clamped — when it alone reaches P_pad/2
+    the scene is small and the global path genuinely wins."""
+    target = max(256, 8 * P_pad // max(bins_per_image, 1))
+    if m_min > 0:
+        viable = ((P_pad - 1) // 2) // cand_chunk * cand_chunk
+        if target < viable:
+            m_min = min(int(m_min), viable)
+        target = max(target, int(m_min))
     return min(P_pad, _ceil_to(target, cand_chunk))
 
 
