@@ -135,6 +135,23 @@ def p6_grad(v, s, c):
     return jax.grad(p5_loss, argnums=(0, 1, 2))(v, s, c)
 
 
+def p4g_gradfrag(v, s):
+    """fine bwd chain only (weight+len cotangents; no attr kernels)."""
+    return jax.grad(p4_frag, argnums=(0, 1))(v, s)
+
+
+def p5w_imgloss(v, s, c):
+    frag = render_pipeline(v, s, R_m, T, focal, principal,
+                           image_size=(H, W), max_assign=K)
+    img = interpolate_attr(frag, c)
+    return jnp.mean((img - target) ** 2)
+
+
+def p5wg_gradimg(v, s, c):
+    """fine bwd + attr bwd, no silhouette branch."""
+    return jax.grad(p5w_imgloss, argnums=(0, 1, 2))(v, s, c)
+
+
 al2 = [(verts * (1 + 1e-5 * i), sigmas_raw) for i in range(34)]
 al3 = [(verts * (1 + 1e-5 * i), sigmas_raw, colors) for i in range(34)]
 
@@ -146,6 +163,8 @@ for name, fn, al in [
     ("coarse+table+rays+select", p3_select, al2),
     ("fragments fwd (pipeline)", p4_frag, al2),
     ("fwd full loss", p5_loss, al3),
+    ("fwd+bwd frag-sum (no attr)", p4g_gradfrag, al2),
+    ("fwd+bwd img loss (no sil)", p5wg_gradimg, al3),
     ("fwd+bwd full loss", p6_grad, al3),
 ]:
     t = measure(jax.jit(fn), al, n1=4, n2=28)

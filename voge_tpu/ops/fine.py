@@ -992,10 +992,10 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
     return sel, (rf_k, table_c)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15))
+@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
 def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
                     dst_l, dst_g, gpos, g_valid, rf_c,
-                    thr_act, bin_size, K, agg_ow=None):
+                    thr_act, bin_size, K, agg_ow=None, cam_grad=True):
     """Fine selection over emission-compacted candidates (KERNEL layout).
 
     The coarse stage (``emit_supertile_candidates``) runs *outside* this
@@ -1005,7 +1005,13 @@ def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
     table only.  ``dst_l``/``dst_g``/``gpos``/``g_valid`` are the inverse
     emission mapping (``emit_supertile_candidates(return_dst=True)``): the
     backward gathers each Gaussian's gradient rows from its <= 9 compacted
-    slots instead of a segment_sum scatter over all nb*M_max rows."""
+    slots instead of a segment_sum scatter over all nb*M_max rows.
+
+    ``cam_grad=False`` declares the camera rays non-differentiated (a
+    fitting loop over fixed cameras): the backward runs the single-output
+    "gauss" kernel and returns zero ray gradients — the per-ray row
+    reductions and their output traffic are skipped entirely (one fused
+    pallas_call cannot be dead-code-eliminated by XLA)."""
     return _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
         bin_size, K, agg_ow, rf_c=rf_c,
@@ -1014,28 +1020,35 @@ def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
 
 def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
                         dst_l, dst_g, gpos, g_valid, rf_c,
-                        thr_act, bin_size, K, agg_ow=None):
-    want_raw = agg_ow is not None
+                        thr_act, bin_size, K, agg_ow=None, cam_grad=True):
     out = _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K, agg_ow, return_raw=want_raw, rf_c=rf_c,
+        bin_size, K, agg_ow, return_raw=False, rf_c=rf_c,
     )
     sel, saved = out[0], out[1]
     rf_k, table_c = saved
-    sel_lad = out[2] if want_raw else None
+    # ray-major slot arrays for the backward's in-kernel weight-cotangent
+    # fold (they are the outputs themselves — no extra residual memory)
+    lad_w = tuple(sel[1:5]) if agg_ow is not None else None
     res = (mus, isigmas, rays.shape, sel[0], pos_c, bits_c, ids_c, counts_c,
-           dst_l, dst_g, gpos, g_valid, rf_c, rf_k, table_c, sel_lad)
+           dst_l, dst_g, gpos, g_valid, rf_c, rf_k, table_c, lad_w)
     return sel, res
 
 
-def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, res, g):
+def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
     from voge_tpu.ops.pallas_bwd import fine_bwd_compact_pallas
 
     (mus, isigmas, rays_shape, sel_idx_k, pos_c, bits_c, ids_c, counts_c,
-     dst_l, dst_g, gpos_g, g_valid, rf_c, rf_k, table_c, sel_lad) = res
+     dst_l, dst_g, gpos_g, g_valid, rf_c, rf_k, table_c, lad_w) = res
     if agg_ow is not None:
-        g = _fold_weight_cotangent(g, sel_lad, agg_ow)
-    _, g_len_k, g_act_k, g_dsd_k = g
+        # the weight cotangent folds into (len, act, dsd) INSIDE the
+        # backward kernel (ray-major prologue) — no standalone fold kernel,
+        # no boundary transposes
+        _, g_len_k, g_act_k, g_dsd_k, g_w_k = g
+        fold_in = lad_w + (g_w_k,)
+    else:
+        _, g_len_k, g_act_k, g_dsd_k = g
+        fold_in = None
     B, P = mus.shape[0], mus.shape[1]
     _, H, W, _ = rays_shape
     bsh, bsw = bin_size
@@ -1052,12 +1065,17 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, res, g):
         K=K, B=B, P_pad=P_pad,
         ray_chunk=_pick_rc_bwd(rf_k.shape[1], K, cc), cand_chunk=cc,
         dst=(dst_l, dst_g, gpos_g, g_valid),
+        fold_in=fold_in, agg_ow=0.0 if agg_ow is None else float(agg_ow),
+        mode="both" if cam_grad else "gauss",
     )
     grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
     grad_isg = jnp.stack(
         [gg[:, 3 + q, :P] for q in range(9)], axis=-1
     ).reshape(B, P, 3, 3)
-    grad_rays = unbin_kern(rb[..., 0:3], B, BH, BW, H, W, bsh, bsw, True)
+    if cam_grad:
+        grad_rays = unbin_kern(rb[..., 0:3], B, BH, BW, H, W, bsh, bsw, True)
+    else:
+        grad_rays = jnp.zeros(rays_shape, jnp.float32)
     f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)
     # rf_c is documented camera-static (a cache of f(rays)); its cotangent
     # is zero — camera gradients flow through the ``rays`` argument
@@ -1137,6 +1155,7 @@ def ray_tracing(
     return_ctx: bool = False,
     agg_ow=None,
     rf_cache=None,
+    camera_grad: bool = True,
     **kwargs,
 ):
     """Coarse + fine dispatcher (reference ``RayTracing.py:12-30``).
@@ -1265,7 +1284,7 @@ def ray_tracing(
                 points, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
                 dst[0], dst[1], dst[2], dst[3], rf_c,
                 float(thr_act), (bin_size_cfg, bin_size_cfg), int(n_assign),
-                agg_ow,
+                agg_ow, bool(camera_grad),
             )
             if not return_ctx:
                 return tuple(

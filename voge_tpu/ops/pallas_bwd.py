@@ -32,11 +32,79 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from voge_tpu.ops.pallas_fine import FEAT
+from voge_tpu.ops.pallas_fine2 import _erf32
 from voge_tpu.ops.pallas_attr import (
     _MAX_UNROLL_K, _lane_extract, gather_back_rows as _gather_back,
 )
 
 _INF = 1e10
+_INV_SQRT_PI = 0.5641895835477563
+
+
+def _fold_ray_major(l, a, d, w, gw, ow: float, K: int):
+    """Analytic backward of the fused erf compositing in RAY-MAJOR (R, K)
+    layout — the slot arrays exactly as the select returns them, so the
+    unified backward kernel can fold the weight cotangent in its own
+    prologue with zero boundary transposes (the standalone
+    :func:`voge_tpu.ops.pallas_fine2.fold_weights_pallas` works on the
+    kernel-native transposed buffers and needs one XLA transpose in and
+    three out).  Math identical — see fold_weights_pallas' docstring.
+
+    :return: (dl, da, dd) each (R, K)
+    """
+    R = l.shape[0]
+    s = jnp.sqrt(d + 1e-10)
+    e = jnp.exp(-a)
+    G = gw * w
+
+    def _sweep(lk, sk, ek, B):
+        diff = l - lk                                   # (R, K) vs slot k
+        ca = diff * sk
+        phi = jnp.exp(-ca * ca) * _INV_SQRT_PI
+        Phi = (_erf32(ca) + 1.0) * 0.5
+        cols = (
+            jnp.sum(G * Phi, axis=1, keepdims=True),    # A_k (R, 1)
+            jnp.sum(G * phi, axis=1, keepdims=True),    # C_k
+            jnp.sum(G * phi * diff, axis=1, keepdims=True),  # D_k
+        )
+        return cols, B + (ek * sk) * phi
+
+    if K <= _MAX_UNROLL_K:
+        B = jnp.zeros_like(l)
+        A_cols, C_cols, D_cols = [], [], []
+        for k in range(K):
+            cols, B = _sweep(l[:, k:k + 1], s[:, k:k + 1], e[:, k:k + 1], B)
+            A_cols.append(cols[0])
+            C_cols.append(cols[1])
+            D_cols.append(cols[2])
+        A = jnp.concatenate(A_cols, axis=1)
+        C = jnp.concatenate(C_cols, axis=1)
+        D = jnp.concatenate(D_cols, axis=1)
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, K), 1)
+
+        def body(k, carry):
+            A, C, D, B = carry
+            cols, B = _sweep(
+                _lane_extract(l, k, _INF), jnp.sqrt(
+                    _lane_extract(d, k, 0.0) + 1e-10),
+                jnp.exp(-_lane_extract(a, k, _INF)), B,
+            )
+            put = lambda acc, col: jnp.where(lane == k, col, acc)
+            return put(A, cols[0]), put(C, cols[1]), put(D, cols[2]), B
+
+        A, C, D, _B = jax.lax.fori_loop(
+            0, K, body,
+            (jnp.zeros_like(l), jnp.zeros_like(l), jnp.zeros_like(l),
+             jnp.zeros_like(l)),
+            unroll=False,
+        )
+        B = _B
+    f_ow = jnp.float32(ow)
+    da = -G + f_ow * e * A
+    dl = -f_ow * (G * B - e * s * C)
+    dd = -f_ow * e * D * (0.5 / s)
+    return dl, da, dd
 
 
 def _coeffs_and_forms(rf, gf, ids, sel, gl, ga, gd, K):
@@ -187,13 +255,21 @@ def _bwd_unified_kernel(
     csel_ref,   # (nb, n_c) int32 SMEM: chunk visit list (scalar prefetch)
     cnt_ref,    # (nb,) int32 SMEM: occupied chunk count per bin
     gf_ref, ids_ref, rf_ref, sel_ref, gl_ref, ga_ref, gd_ref,
-    *refs,      # outputs + scratch, per (want_gauss, want_rays):
+    *refs,      # [fuse_fold inputs: lw/aw/dw/ww/gww (1, R, K)] then
+                # outputs + scratch, per (want_gauss, want_rays):
                 #   both:  og_ref (1, FEAT, P_pad), or_ref (1, R, FEAT), acc
                 #   gauss: og_ref
                 #   rays:  or_ref, acc
+                # [fuse_fold scratch: cl/ca/cd (R, K)]
     K: int, chunk: int, bh_bw: int,
     want_gauss: bool = True, want_rays: bool = True,
+    fuse_fold: bool = False, ow: float = 1.0,
 ):
+    if fuse_fold:
+        lw_ref, aw_ref, dw_ref, ww_ref, gww_ref = refs[:5]
+        refs = refs[5:]
+        cl_s, ca_s, cd_s = refs[-3:]
+        refs = refs[:-3]
     if want_gauss and want_rays:
         og_ref, or_ref, acc = refs
     elif want_gauss:
@@ -217,12 +293,29 @@ def _bwd_unified_kernel(
         def _():
             acc[:] = jnp.zeros_like(acc)
 
+    if fuse_fold:
+        # fold the weight cotangent into the selection cotangents once per
+        # (bin, ray-chunk), in the slot arrays' own ray-major layout
+        @pl.when(c == 0)
+        def _():
+            dl, da, dd = _fold_ray_major(
+                lw_ref[0], aw_ref[0], dw_ref[0], ww_ref[0], gww_ref[0],
+                ow, K,
+            )
+            cl_s[:] = gl_ref[0] + dl
+            ca_s[:] = ga_ref[0] + da
+            cd_s[:] = gd_ref[0] + dd
+
     @pl.when(c < cnt_ref[b])
     def _():
         rf = rf_ref[0]
         gf = gf_ref[0]
+        if fuse_fold:
+            gl_v, ga_v, gd_v = cl_s[:], ca_s[:], cd_s[:]
+        else:
+            gl_v, ga_v, gd_v = gl_ref[0], ga_ref[0], gd_ref[0]
         g_ksk, g_msk, g_msm = _coeffs_and_forms(
-            rf, gf, ids_ref[0], sel_ref[0], gl_ref[0], ga_ref[0], gd_ref[0], K,
+            rf, gf, ids_ref[0], sel_ref[0], gl_v, ga_v, gd_v, K,
         )
         L = [[gf[4 + i * 3 + j : 5 + i * 3 + j, :] for j in range(3)]
              for i in range(3)]
@@ -282,6 +375,7 @@ def _bwd_unified_call(
     rays_feat, gauss_planes, ids_row, csel, counts, sel_b, gl_b, ga_b, gd_b,
     K: int, ray_chunk: int, cand_chunk: int, per_bin_cand: bool,
     bh_bw: int, interpret: bool, mode: str = "both",
+    fold_in=None, agg_ow: float = 1.0,
 ):
     """Shared pallas_call for the unified backward.  ``gauss_planes``
     (NB, FEAT, C_total) / ``ids_row`` (NB, 1, C_total) are per bin
@@ -312,9 +406,11 @@ def _bwd_unified_call(
         eff_bh_bw = bh_bw
     want_gauss = mode in ("both", "gauss")
     want_rays = mode in ("both", "rays")
+    fuse_fold = fold_in is not None
     kernel = functools.partial(
         _bwd_unified_kernel, K=int(K), chunk=int(cand_chunk),
         bh_bw=int(eff_bh_bw), want_gauss=want_gauss, want_rays=want_rays,
+        fuse_fold=fuse_fold, ow=float(agg_ow),
     )
     slot = pl.BlockSpec((1, ray_chunk, K), lambda b, r, c, cs, ct: (b, r, 0),
                         memory_space=pltpu.VMEM)
@@ -333,17 +429,23 @@ def _bwd_unified_call(
     scratch = (
         [pltpu.VMEM((ray_chunk, FEAT), jnp.float32)] if want_rays else []
     )
+    in_specs = [
+        pl.BlockSpec((1, FEAT, cand_chunk), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cand_chunk), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ray_chunk, FEAT),
+                     lambda b, r, c, cs, ct: (b, r, 0),
+                     memory_space=pltpu.VMEM),
+        slot, slot, slot, slot,
+    ]
+    inputs = [gauss_planes, ids_row, rays_feat, sel_b, gl_b, ga_b, gd_b]
+    if fuse_fold:
+        in_specs += [slot] * 5
+        inputs += list(fold_in)          # lw, aw, dw, ww, gww (nb, R, K)
+        scratch = scratch + [pltpu.VMEM((ray_chunk, K), jnp.float32)] * 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb, n_r, n_c),
-        in_specs=[
-            pl.BlockSpec((1, FEAT, cand_chunk), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, cand_chunk), cmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_chunk, FEAT),
-                         lambda b, r, c, cs, ct: (b, r, 0),
-                         memory_space=pltpu.VMEM),
-            slot, slot, slot, slot,
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -355,7 +457,7 @@ def _bwd_unified_call(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(csel, counts, gauss_planes, ids_row, rays_feat, sel_b, gl_b, ga_b, gd_b)
+    )(csel, counts, *inputs)
     if mode == "both":
         return out
     return out[0]
@@ -399,7 +501,7 @@ def fine_bwd_compact_pallas(
     sel_b, gl_b, ga_b, gd_b,
     K: int, B: int, P_pad: int,
     ray_chunk: int, cand_chunk: int, interpret: bool = False,
-    dst=None,
+    dst=None, fold_in=None, agg_ow: float = 1.0, mode: str = "both",
 ):
     """Unified backward over the per-supertile COMPACTED candidate space.
 
@@ -426,11 +528,16 @@ def fine_bwd_compact_pallas(
     # "rays" passes was measured round-3: the rays side is too cheap for
     # the split to register — pallas_calls are not XLA-DCE'd anyway — while
     # pose+shape optimization would pay the reconstruction twice.)
-    gg_c, rb = _bwd_unified_call(
+    out = _bwd_unified_call(
         rays_feat, planes_c, ids_row, csel, counts, sel_b, gl_b, ga_b, gd_b,
         K=K, ray_chunk=ray_chunk, cand_chunk=cand_chunk, per_bin_cand=True,
-        bh_bw=1, interpret=interpret, mode="both",
+        bh_bw=1, interpret=interpret, mode=mode,
+        fold_in=fold_in, agg_ow=agg_ow,
     )
+    if mode == "both":
+        gg_c, rb = out
+    else:
+        gg_c, rb = out, None
     rows = jnp.swapaxes(gg_c, 1, 2).reshape(nb * M_max, FEAT)
     if dst is not None:
         gg = _gather_back(rows, dst, B, P_pad, nb * M_max)

@@ -261,6 +261,7 @@ def render_pipeline(
     bin_size: Optional[int] = None,
     max_point_per_bin: Optional[int] = None,
     cam_ctx: Optional["CameraCtx"] = None,
+    camera_grad: bool = True,
 ) -> Fragments:
     """Pure functional forward render (the body of reference
     ``Renderer.py:102-150``): generate rays, center verts on the camera,
@@ -270,7 +271,12 @@ def render_pipeline(
     :func:`precompute_camera_ctx` — skips the per-step ray/feature
     construction in fitting loops.  Must have been built from the same
     camera parameters and geometry settings (the bin-geometry tag is
-    checked; the camera arrays are trusted)."""
+    checked; the camera arrays are trusted).
+
+    ``camera_grad=False`` declares the camera pose non-differentiated (a
+    fitting loop over fixed cameras): the fine backward skips the per-ray
+    gradient pass entirely and returns zero ray gradients.  Leave True
+    when optimizing R/T/focal through the renderer (pose estimation)."""
     sigmas = expend_sigma(sigmas)
     if verts.ndim == 2:
         verts = verts[None]
@@ -302,6 +308,7 @@ def render_pipeline(
         rf_cache=None if cam_ctx is None else {
             "rf_k": cam_ctx.rf_k, "geom": cam_ctx.geom,
         },
+        camera_grad=camera_grad,
     )
     if len(sel) == 5:
         # O(K^2) erf compositing fused into the selection kernel (TPU) or
