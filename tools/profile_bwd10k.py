@@ -1,14 +1,8 @@
-"""Stage-level timing of the PRODUCTION 10K/256^2 step, with the
-camera-static ctx the bench uses.  Run on the TPU attachment.
+"""Decompose the 10K/256^2 fwd+bwd step: which backward component costs
+what, and what the coarse emission's substages cost.  Run on TPU.
 
-Every timed function gets >= n1+n2+1 DISTINCT argument sets so no
-execution repeats an input (repeated inputs can be served from a relay
-result cache, deflating estimates — voge_tpu/timing.py).
-
-The "coarse emit only" row times the emission-compacted coarse stage,
-which the dispatcher (ops/fine.py `grouped and 2*M_max < P_pad`) only
-takes on the TPU backend when compaction is viable; the row is skipped
-with a note when this config would dispatch elsewhere.
+Distinct inputs per execution (>= n1+n2+1) so the relay result cache
+cannot deflate estimates (voge_tpu/timing.py).
 """
 import os
 import sys
@@ -26,7 +20,9 @@ from voge_tpu.renderer import (
     render_pipeline, interpolate_attr, get_silhouette, precompute_camera_ctx,
 )
 from voge_tpu.ops import fine as F
-from voge_tpu.ops.coarse import emit_supertile_candidates
+from voge_tpu.ops.coarse import (
+    emit_supertile_candidates, _camera_planes, _pixel_radii_planes,
+)
 from voge_tpu.aggregation import expend_sigma
 from voge_tpu.timing import measure_stats
 
@@ -34,7 +30,7 @@ H = W = 256
 K = 20
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
 N1, N2 = 5, 45
-N_ARGS = N1 + N2 + 1  # every execution (warmup + both runs) distinct
+N_ARGS = N1 + N2 + 1
 
 g = Cuboid.cuboid_gauss((-1, 1), (-1, 1), (-1, 1), N, percentage=0.6, as_obj=True)
 verts = jnp.asarray(g.verts)
@@ -49,10 +45,7 @@ cam_ctx = precompute_camera_ctx(R_m, T, focal, principal, (H, W), P, max_assign=
 print(f"P={P} backend={jax.default_backend()}", flush=True)
 
 kw = dict(image_size=(H, W), max_assign=K, cam_ctx=cam_ctx)
-
 bs, mppb = F.production_bin_geometry((H, W), K, P, None, None)
-
-# replicate the dispatcher's compacted-path guard (ops/fine.py ray_tracing)
 BH = (H - 1) // bs + 1
 BW = (W - 1) // bs + 1
 cc = F._pick_cand_chunk(P)
@@ -60,61 +53,79 @@ cc_align = max(cc, F._pick_cand_chunk_bwd(P))
 P_pad = F._ceil_to(max(P, cc_align), cc_align)
 bh_bw = ((BH + 1) // 2) * ((BW + 1) // 2)
 M_max = F._pick_m_max(P_pad, bh_bw, cc, 0)
-compact_path = (
-    jax.default_backend() == "tpu" and F._is_grouped(BH, BW, K)
-    and 2 * M_max < P_pad
-)
 sig33 = expend_sigma(sigmas)[None]
+print(f"bs={bs} BH={BH} BW={BW} M_max={M_max} P_pad={P_pad}", flush=True)
 
 
-def coarse_only(v):
+# ---- coarse substages -----------------------------------------------------
+
+def _prep(v):
     mus = v[None] - cam_ctx.origins[:, None, :]
-    isig = 2.0 * sig33
+    return mus, 2.0 * sig33
+
+
+def coarse_windows(v):
+    """Just the per-Gaussian window/bits math (no sort)."""
+    mus, isig = _prep(v)
+    u, vv, z = _camera_planes(R_m, T, focal, principal, mus)
+    rx, ry = _pixel_radii_planes(R_m, focal, isig, 0.01, z)
+    return [u.sum(), vv.sum(), rx.sum(), ry.sum()]
+
+
+def coarse_nodst(v):
+    mus, isig = _prep(v)
+    out = emit_supertile_candidates(
+        R_m, T, focal, principal, mus, isig, (H, W), 0.01, bs, M_max,
+        return_dst=False)
+    return [out[0].sum(), out[2].sum(), out[3].sum()]
+
+
+def coarse_dst(v):
+    mus, isig = _prep(v)
     out = emit_supertile_candidates(
         R_m, T, focal, principal, mus, isig, (H, W), 0.01, bs, M_max,
         return_dst=True)
     return [out[0].sum(), out[2].sum(), out[3].sum()]
 
 
-def fwd_only(v, s):
-    frag = render_pipeline(v, s, R_m, T, focal, principal, **kw)
-    return frag.vert_weight.sum()
+# ---- backward components ----------------------------------------------------
+
+def frag_of(v, s):
+    return render_pipeline(v, s, R_m, T, focal, principal, **kw)
 
 
-def fwd_loss(v, s, c):
-    frag = render_pipeline(v, s, R_m, T, focal, principal, **kw)
+def loss_w(v, s):        # fine bwd only (weights sum; no attr kernels)
+    return frag_of(v, s).vert_weight.sum()
+
+
+def loss_sil(v, s):      # silhouette path only
+    return jnp.mean(get_silhouette(frag_of(v, s)) ** 2)
+
+
+def loss_img(v, s, c):   # attr compositing + fine bwd
+    img = interpolate_attr(frag_of(v, s), c)
+    return jnp.mean((img - target) ** 2)
+
+
+def loss_full(v, s, c):
+    frag = frag_of(v, s)
     img = interpolate_attr(frag, c)
     sil = get_silhouette(frag)
     return jnp.mean((img - target) ** 2) + jnp.mean(sil ** 2)
 
-
-def loss_fn(v, s, c, cam_grad=True):
-    frag = render_pipeline(v, s, R_m, T, focal, principal,
-                           camera_grad=cam_grad, **kw)
-    img = interpolate_attr(frag, c)
-    sil = get_silhouette(frag)
-    return jnp.mean((img - target) ** 2) + jnp.mean(sil ** 2)
-
-
-fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
-fwdbwd_nocam = jax.jit(jax.grad(
-    lambda v, s, c: loss_fn(v, s, c, cam_grad=False), argnums=(0, 1, 2)))
 
 al1 = lambda i: (verts * (1 + 1e-5 * i),)
 al2 = lambda i: (verts * (1 + 1e-5 * i), sigmas)
 al3 = lambda i: (verts * (1 + 1e-5 * i), sigmas, colors)
 
-rows = []
-if compact_path:
-    rows.append(("coarse emit only", jax.jit(coarse_only), al1))
-else:
-    print("coarse emit only         SKIPPED (dispatcher would not take the "
-          "compacted path at this config)", flush=True)
-rows += [
-    ("full fwd (frag)", jax.jit(fwd_only), al2),
-    ("fwd loss (no grad)", jax.jit(fwd_loss), al3),
-    ("fwd+bwd (bench loss)", fwdbwd, al3),
-    ("fwd+bwd camera_grad=F", fwdbwd_nocam, al3),
+rows = [
+    ("coarse: windows only", jax.jit(coarse_windows), al1),
+    ("coarse: emit no dst", jax.jit(coarse_nodst), al1),
+    ("coarse: emit + dst", jax.jit(coarse_dst), al1),
+    ("grad(sum w) fine bwd", jax.jit(jax.grad(loss_w, argnums=(0, 1))), al2),
+    ("grad(sil loss)", jax.jit(jax.grad(loss_sil, argnums=(0, 1))), al2),
+    ("grad(img loss)", jax.jit(jax.grad(loss_img, argnums=(0, 1, 2))), al3),
+    ("grad(full loss)", jax.jit(jax.grad(loss_full, argnums=(0, 1, 2))), al3),
 ]
 
 for name, fn, al in rows:

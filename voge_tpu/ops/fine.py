@@ -1021,15 +1021,25 @@ def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
 def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
                         dst_l, dst_g, gpos, g_valid, rf_c,
                         thr_act, bin_size, K, agg_ow=None, cam_grad=True):
+    want_raw = agg_ow is not None
     out = _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K, agg_ow, return_raw=False, rf_c=rf_c,
+        bin_size, K, agg_ow, return_raw=want_raw, rf_c=rf_c,
     )
-    sel, saved = out[0], out[1]
+    if want_raw:
+        sel, saved, raw = out
+    else:
+        sel, saved = out
+        raw = None
     rf_k, table_c = saved
-    # ray-major slot arrays for the backward's in-kernel weight-cotangent
-    # fold (they are the outputs themselves — no extra residual memory)
-    lad_w = tuple(sel[1:5]) if agg_ow is not None else None
+    # kernel-native TRANSPOSED (nb, Kp, R) slot buffers for the backward's
+    # weight-cotangent fold (aliases of the outputs — no extra residual
+    # memory).  The fold runs as the transposed fold_weights_pallas kernel:
+    # an in-kernel ray-major fold (K on the LANE dim) was measured at
+    # ~2.7 ms of the 10K backward's 5.1 — 84% lane waste plus cross-lane
+    # reduction tails per sweep — vs ~0.4 ms for the transposed kernel plus
+    # its boundary transposes (tools/kernel_bench3.py).
+    lad_w = raw
     res = (mus, isigmas, rays.shape, sel[0], pos_c, bits_c, ids_c, counts_c,
            dst_l, dst_g, gpos, g_valid, rf_c, rf_k, table_c, lad_w)
     return sel, res
@@ -1041,14 +1051,27 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
     (mus, isigmas, rays_shape, sel_idx_k, pos_c, bits_c, ids_c, counts_c,
      dst_l, dst_g, gpos_g, g_valid, rf_c, rf_k, table_c, lad_w) = res
     if agg_ow is not None:
-        # the weight cotangent folds into (len, act, dsd) INSIDE the
-        # backward kernel (ray-major prologue) — no standalone fold kernel,
-        # no boundary transposes
+        # fold the weight cotangent into (len, act, dsd) with the TRANSPOSED
+        # fold kernel on the saved kernel-native buffers (see the fwd's
+        # lad_w comment; the in-kernel ray-major fold cost ~2.7 ms at 10K)
+        from voge_tpu.ops.pallas_fine2 import fold_weights_pallas
+
         _, g_len_k, g_act_k, g_dsd_k, g_w_k = g
-        fold_in = lad_w + (g_w_k,)
+        l_t, a_t, d_t, w_t = lad_w
+        Kp = l_t.shape[1]
+        gw_t = jnp.swapaxes(g_w_k, 1, 2)
+        if Kp > K:
+            gw_t = jnp.pad(gw_t, ((0, 0), (0, Kp - K), (0, 0)))
+        dl_t, da_t, dd_t = fold_weights_pallas(
+            l_t, a_t, d_t, w_t, gw_t, float(agg_ow), K
+        )
+        t = lambda x: jnp.swapaxes(x, 1, 2)[:, :, :K]
+        g_len_k = g_len_k + t(dl_t)
+        g_act_k = g_act_k + t(da_t)
+        g_dsd_k = g_dsd_k + t(dd_t)
     else:
         _, g_len_k, g_act_k, g_dsd_k = g
-        fold_in = None
+    fold_in = None
     B, P = mus.shape[0], mus.shape[1]
     _, H, W, _ = rays_shape
     bsh, bsw = bin_size

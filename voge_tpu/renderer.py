@@ -245,7 +245,7 @@ def precompute_camera_ctx(
     jax.jit,
     static_argnames=(
         "image_size", "max_assign", "thr_activation", "absorptivity",
-        "inverse_sigma", "bin_size", "max_point_per_bin",
+        "inverse_sigma", "bin_size", "max_point_per_bin", "camera_grad",
     ),
 )
 def render_pipeline(
