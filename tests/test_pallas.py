@@ -443,3 +443,113 @@ def test_fold_weights_kernel_matches_xla_vjp(rng, K, Kp):
         np.testing.assert_allclose(
             np.asarray(x0), x1_rk, rtol=1e-4, atol=1e-5
         )
+
+
+@pytest.mark.slow
+@_pytest.mark.parametrize("fold", [False, True])
+@_pytest.mark.parametrize("K", [5, 40])
+def test_bwd_compact_t_matches_ray_major(rng, K, fold):
+    """The fully transposed compacted backward (fine_bwd_compact_t_pallas,
+    interpret mode) — fold + entry-space chain rule + slot match all on the
+    kernel-native (Kp, R) layout — matches the ray-major compacted backward
+    (fine_bwd_compact_pallas) fed the separately-folded cotangents.  K=40
+    exercises the fori_loop prologue/match paths."""
+    import math
+    import voge_tpu.ops.fine as F
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.rays import camera_rays
+    from voge_tpu.ops.coarse import overlap_mask
+    from voge_tpu.ops.pallas_bwd import (
+        fine_bwd_compact_pallas, fine_bwd_compact_t_pallas,
+    )
+    from voge_tpu.ops.pallas_fine2 import (
+        compact_candidates, fine_select_compact_pallas, fold_weights_pallas,
+        prefix_visit_lists,
+    )
+
+    B, H, W, P = 2, 20, 20, 60
+    mus_w = rng.uniform(-1, 1, size=(P, 3)).astype(np.float32) * 0.8
+    a = rng.uniform(-1, 1, size=(P, 3, 3)).astype(np.float32)
+    isig = np.einsum("pij,pkj->pik", a, a) + 2 * np.eye(3, dtype=np.float32)
+    R_, T_ = look_at_view_transform(
+        dist=[4.0, 4.5], elev=[5.0, 20.0], azim=[10.0, 40.0]
+    )
+    focal = jnp.broadcast_to(jnp.asarray([[30.0, 30.0]]), (B, 2))
+    principal = jnp.broadcast_to(jnp.asarray([[10.0, 10.0]]), (B, 2))
+    rays, origins = camera_rays(R_, T_, focal, principal, (H, W))
+    mus = jnp.asarray(mus_w)[None] - origins[:, None, :]
+    isig_b = jnp.broadcast_to(jnp.asarray(isig)[None], (B, P, 3, 3))
+    bin_size = 10
+    mask = overlap_mask(
+        R_, T_, focal, principal, mus, isig_b, (H, W), 0.01, bin_size
+    )
+    thr_act = -math.log(0.01 + 1e-10)
+    _, BH, BW, _ = mask.shape
+    nb = B * BH * BW
+    P_pad = 128
+    M_max = 128
+    ow = 0.9
+
+    gf = F._gauss_feature_planes_batched(mus, isig_b)
+    gf = jnp.pad(gf, ((0, 0), (0, 0), (0, P_pad - P)))
+    mf = jnp.pad(mask.reshape(nb, P).astype(jnp.int8),
+                 ((0, 0), (0, P_pad - P)))[:, None, :]
+    rays_feat, _R, R_pad = F._rays_features(rays, BH, BW, bin_size, bin_size)
+    ids_p = _identity_ids(B, P, P_pad)
+
+    table_c, bits_c, ids_c, pos_c, counts_c, _over = compact_candidates(
+        mf, gf, ids_p, M_max=M_max, bh_bw=BH * BW,
+    )
+    rays_t = jnp.swapaxes(rays_feat, 1, 2)
+    csel, cnts = prefix_visit_lists(counts_c, M_max, 128)
+    sel, raw = fine_select_compact_pallas(
+        rays_t, table_c, bits_c, ids_c, csel, cnts, thr_act, K,
+        sub_bins=1, ray_chunk=R_pad, cand_chunk=128, per_bin_cand=True,
+        interpret=True, agg_ow=(ow if fold else None), return_raw=True,
+    )
+    Kp = raw[0].shape[1]
+
+    gl = jnp.asarray(rng.normal(size=(nb, R_pad, K)).astype(np.float32))
+    ga = jnp.asarray(rng.normal(size=(nb, R_pad, K)).astype(np.float32))
+    gd = jnp.asarray(rng.normal(size=(nb, R_pad, K)).astype(np.float32))
+
+    def t_pad(x):
+        x = jnp.swapaxes(x, 1, 2)
+        if Kp > K:
+            x = jnp.pad(x, ((0, 0), (0, Kp - K), (0, 0)))
+        return x
+
+    if fold:
+        gw = jnp.asarray(rng.normal(size=(nb, R_pad, K)).astype(np.float32))
+        _idx_t, l_t, a_t, d_t, w_t = raw
+        dl_t, da_t, dd_t = fold_weights_pallas(
+            l_t, a_t, d_t, w_t, t_pad(gw), ow, K, interpret=True
+        )
+        rk = lambda x: jnp.swapaxes(x, 1, 2)[:, :, :K]
+        gl_f, ga_f, gd_f = gl + rk(dl_t), ga + rk(da_t), gd + rk(dd_t)
+        g_t = (t_pad(gl), t_pad(ga), t_pad(gd), t_pad(gw))
+    else:
+        gl_f, ga_f, gd_f = gl, ga, gd
+        g_t = (t_pad(gl), t_pad(ga), t_pad(gd))
+
+    gg_old, rb_old = fine_bwd_compact_pallas(
+        rays_feat, table_c, ids_c, pos_c, counts_c,
+        sel[0], gl_f, ga_f, gd_f, K=K, B=B, P_pad=P_pad,
+        ray_chunk=8, cand_chunk=128, interpret=True,
+    )
+    gg_new, rb_new = fine_bwd_compact_t_pallas(
+        rays_t, table_c, ids_c, counts_c, raw, g_t,
+        K=K, cand_chunk=128, dst=None, B=B, P_pad=P_pad,
+        agg_ow=ow, mode="both", interpret=True, pos_c=pos_c,
+    )
+    # the two formulations differ in accumulation order (the ray-major
+    # kernel recomputes len/act/dsd from the features; the transposed one
+    # uses the saved primals) — a few-ulp spread at f32 on O(1e2) grads
+    np.testing.assert_allclose(
+        np.asarray(gg_new), np.asarray(gg_old), rtol=5e-3, atol=5e-4
+    )
+    rb_new_rm = jnp.swapaxes(rb_new, 1, 2)
+    np.testing.assert_allclose(
+        np.asarray(rb_new_rm[..., 0:3]), np.asarray(rb_old[..., 0:3]),
+        rtol=5e-3, atol=5e-4,
+    )

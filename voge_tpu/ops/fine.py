@@ -736,7 +736,9 @@ def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
     if agg_ow is None:
         sel_lad = None
     else:
-        sel_lad = raw if raw is not None else tuple(out[1:4])
+        # raw is (idx, l, a, d, w) kernel-native; the fold consumes (l, a,
+        # d, w)
+        sel_lad = raw[1:5] if raw is not None else tuple(out[1:4])
     return (out, aux), (mus, isigmas, rays, out[0], mask, ids, saved, sel_lad)
 
 
@@ -1021,57 +1023,44 @@ def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
 def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
                         dst_l, dst_g, gpos, g_valid, rf_c,
                         thr_act, bin_size, K, agg_ow=None, cam_grad=True):
-    want_raw = agg_ow is not None
     out = _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K, agg_ow, return_raw=want_raw, rf_c=rf_c,
+        bin_size, K, agg_ow, return_raw=True, rf_c=rf_c,
     )
-    if want_raw:
-        sel, saved, raw = out
-    else:
-        sel, saved = out
-        raw = None
+    sel, saved, raw = out
     rf_k, table_c = saved
-    # kernel-native TRANSPOSED (nb, Kp, R) slot buffers for the backward's
-    # weight-cotangent fold (aliases of the outputs — no extra residual
-    # memory).  The fold runs as the transposed fold_weights_pallas kernel:
-    # an in-kernel ray-major fold (K on the LANE dim) was measured at
-    # ~2.7 ms of the 10K backward's 5.1 — 84% lane waste plus cross-lane
-    # reduction tails per sweep — vs ~0.4 ms for the transposed kernel plus
-    # its boundary transposes (tools/kernel_bench3.py).
-    lad_w = raw
-    res = (mus, isigmas, rays.shape, sel[0], pos_c, bits_c, ids_c, counts_c,
-           dst_l, dst_g, gpos, g_valid, rf_c, rf_k, table_c, lad_w)
+    # Residuals: the select kernel's native TRANSPOSED (nb, Kp, R) buffers
+    # (idx, len, act, dsd[, w]) — free aliases of the outputs — feed the
+    # fully transposed backward kernel (pallas_bwd.fine_bwd_compact_t_
+    # pallas): fold, entry-space chain rule, and slot match all run with
+    # slots on SUBLANES.  (The previous ray-major in-kernel fold alone
+    # cost ~2.7 ms of the 10K backward's 5.1 — K=20 on the lane dim is 84%
+    # lane waste plus cross-lane reduction tails; tools/kernel_bench3.py.)
+    rays_t = jnp.swapaxes(rf_k, 1, 2)
+    res = (mus, isigmas, rays.shape, pos_c, bits_c, ids_c, counts_c,
+           dst_l, dst_g, gpos, g_valid, rf_c, rays_t, table_c, raw)
     return sel, res
 
 
 def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
-    from voge_tpu.ops.pallas_bwd import fine_bwd_compact_pallas
+    from voge_tpu.ops.pallas_bwd import fine_bwd_compact_t_pallas
 
-    (mus, isigmas, rays_shape, sel_idx_k, pos_c, bits_c, ids_c, counts_c,
-     dst_l, dst_g, gpos_g, g_valid, rf_c, rf_k, table_c, lad_w) = res
-    if agg_ow is not None:
-        # fold the weight cotangent into (len, act, dsd) with the TRANSPOSED
-        # fold kernel on the saved kernel-native buffers (see the fwd's
-        # lad_w comment; the in-kernel ray-major fold cost ~2.7 ms at 10K)
-        from voge_tpu.ops.pallas_fine2 import fold_weights_pallas
+    (mus, isigmas, rays_shape, pos_c, bits_c, ids_c, counts_c,
+     dst_l, dst_g, gpos_g, g_valid, rf_c, rays_t, table_c, raw) = res
+    Kp = raw[0].shape[1]
 
-        _, g_len_k, g_act_k, g_dsd_k, g_w_k = g
-        l_t, a_t, d_t, w_t = lad_w
-        Kp = l_t.shape[1]
-        gw_t = jnp.swapaxes(g_w_k, 1, 2)
+    def t_pad(x):
+        x = jnp.swapaxes(x, 1, 2)
         if Kp > K:
-            gw_t = jnp.pad(gw_t, ((0, 0), (0, Kp - K), (0, 0)))
-        dl_t, da_t, dd_t = fold_weights_pallas(
-            l_t, a_t, d_t, w_t, gw_t, float(agg_ow), K
-        )
-        t = lambda x: jnp.swapaxes(x, 1, 2)[:, :, :K]
-        g_len_k = g_len_k + t(dl_t)
-        g_act_k = g_act_k + t(da_t)
-        g_dsd_k = g_dsd_k + t(dd_t)
+            x = jnp.pad(x, ((0, 0), (0, Kp - K), (0, 0)))
+        return x
+
+    if agg_ow is not None:
+        _, g_len_k, g_act_k, g_dsd_k, g_w_k = g
+        g_t = (t_pad(g_len_k), t_pad(g_act_k), t_pad(g_dsd_k), t_pad(g_w_k))
     else:
         _, g_len_k, g_act_k, g_dsd_k = g
-    fold_in = None
+        g_t = (t_pad(g_len_k), t_pad(g_act_k), t_pad(g_dsd_k))
     B, P = mus.shape[0], mus.shape[1]
     _, H, W, _ = rays_shape
     bsh, bsw = bin_size
@@ -1082,13 +1071,11 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
     cc = max(cc_opts) if cc_opts else M_max
     cc_align = max(_pick_cand_chunk(P), _pick_cand_chunk_bwd(P))
     P_pad = _ceil_to(max(P, cc_align), cc_align)
-    gg, rb = fine_bwd_compact_pallas(
-        rf_k, table_c, ids_c, pos_c, counts_c,
-        sel_idx_k, g_len_k, g_act_k, g_dsd_k,
-        K=K, B=B, P_pad=P_pad,
-        ray_chunk=_pick_rc_bwd(rf_k.shape[1], K, cc), cand_chunk=cc,
-        dst=(dst_l, dst_g, gpos_g, g_valid),
-        fold_in=fold_in, agg_ow=0.0 if agg_ow is None else float(agg_ow),
+    gg, rb_t = fine_bwd_compact_t_pallas(
+        rays_t, table_c, ids_c, counts_c, raw, g_t,
+        K=K, cand_chunk=cc,
+        dst=(dst_l, dst_g, gpos_g, g_valid), B=B, P_pad=P_pad,
+        agg_ow=0.0 if agg_ow is None else float(agg_ow),
         mode="both" if cam_grad else "gauss",
     )
     grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
@@ -1096,6 +1083,7 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
         [gg[:, 3 + q, :P] for q in range(9)], axis=-1
     ).reshape(B, P, 3, 3)
     if cam_grad:
+        rb = jnp.swapaxes(rb_t, 1, 2)
         grad_rays = unbin_kern(rb[..., 0:3], B, BH, BW, H, W, bsh, bsw, True)
     else:
         grad_rays = jnp.zeros(rays_shape, jnp.float32)
@@ -1179,9 +1167,16 @@ def ray_tracing(
     agg_ow=None,
     rf_cache=None,
     camera_grad: bool = True,
+    return_overflow: bool = False,
     **kwargs,
 ):
     """Coarse + fine dispatcher (reference ``RayTracing.py:12-30``).
+
+    ``return_overflow=True`` (ignored under ``return_ctx``, whose ctx
+    carries the same counter) returns ``(sel, overflow)`` with ``sel`` in
+    image layout on every dispatch path — the scalar total of candidate
+    memberships dropped by a capacity-limited coarse stage (the sharded
+    renderer propagates it through ``shard_map``).
 
     :param cameras_or_params: a :class:`voge_tpu.cameras.PerspectiveCameras`
         or a tuple ``(R, T, focal, principal)`` of arrays
@@ -1263,9 +1258,11 @@ def ray_tracing(
             sel = tuple(sel) + (
                 weights_from_sel(sel[1], sel[2], sel[3], agg_ow),
             )
-        if not return_ctx:
-            return sel
         overflow = jnp.maximum(counts - mppb, 0).astype(jnp.int32)
+        if not return_ctx:
+            if return_overflow:
+                return sel, jnp.sum(overflow).astype(jnp.int32)
+            return sel
         return sel, dict(overflow=overflow)
     else:
         from voge_tpu.ops.coarse import (
@@ -1310,11 +1307,14 @@ def ray_tracing(
                 agg_ow, bool(camera_grad),
             )
             if not return_ctx:
-                return tuple(
+                sel = tuple(
                     unbin_kern(x, B, BH, BW, H, W, bin_size_cfg,
                                bin_size_cfg, True)
                     for x in sel_k
                 )
+                if return_overflow:
+                    return sel, jnp.sum(overflow_c).astype(jnp.int32)
+                return sel
             ctx = dict(
                 ids_c=ids_c, pos_c=pos_c, counts_c=counts_c,
                 overflow=overflow_c, perm=None, dst=dst,
@@ -1339,10 +1339,26 @@ def ray_tracing(
         eff_bin = (bin_size_cfg, bin_size_cfg)
 
     if not return_ctx:
-        return _ray_trace_fine_mask(
-            points, isigmas, rays, mask, ids, float(thr_act), tuple(eff_bin),
-            int(n_assign), agg_ow, m_min=P if mppb == -1 else 0,
+        if not return_overflow:
+            return _ray_trace_fine_mask(
+                points, isigmas, rays, mask, ids, float(thr_act),
+                tuple(eff_bin), int(n_assign), agg_ow,
+                m_min=P if mppb == -1 else 0,
+            )
+        sel_k, aux = _rt_fine_kern(
+            points, isigmas, rays, mask, ids, float(thr_act),
+            tuple(eff_bin), int(n_assign), P if mppb == -1 else 0, agg_ow,
         )
+        _, BH_m, BW_m, _ = mask.shape
+        bsh, bsw = eff_bin
+        grouped_m = _is_grouped(BH_m, BW_m, int(n_assign))
+        sel = tuple(
+            unbin_kern(x, B, BH_m, BW_m, H, W, bsh, bsw, grouped_m)
+            for x in sel_k
+        )
+        ovf = (jnp.sum(aux[3]).astype(jnp.int32) if aux is not None
+               else jnp.zeros((), jnp.int32))
+        return sel, ovf
 
     # ctx path: KERNEL-layout selections + the compacted candidate context
     # the fused attribute compositing kernels need (pallas_attr.py).

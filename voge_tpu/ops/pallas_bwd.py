@@ -554,6 +554,354 @@ def fine_bwd_compact_pallas(
 
 
 
+def _bwd_t_kernel(
+    csel_ref,   # (nb, n_c) int32 SMEM chunk visit list
+    cnt_ref,    # (nb,) int32 SMEM occupied chunk count
+    ids_ref,    # (1, C, 1) int32 candidate original ids (-1 pad)
+    gp_ref,     # (1, FEAT, C) f32 candidate feature PLANES (row-sliceable)
+    rft_ref,    # (1, FEAT, R) f32 transposed ray features
+    selt_ref,   # (1, Kp, R) int32 raw selection ids (kernel-native)
+    lt_ref, at_ref, dt_ref,      # (1, Kp, R) raw selection primals
+    glt_ref, gat_ref, gdt_ref,   # (1, Kp, R) transposed cotangents
+    *refs,      # [wt_ref, gwt_ref when fold] then outputs og(,ort) + scratch
+    K: int, chunk: int, want_rays: bool, fold: bool, ow: float,
+):
+    """Fully TRANSPOSED unified fine backward: slots on sublanes (Kp rows),
+    rays on lanes — the layout the select kernel already produces, so the
+    fold, the entry-space chain rule, and the slot-to-candidate match all
+    run without a single ray-major (K-on-lanes) array.  The ray-major
+    variant of this kernel (:func:`_bwd_unified_kernel`) pays 84% lane
+    waste and cross-lane reduction tails in its fold prologue and spends
+    ~60 (R, C) VPU passes on the two reduction sides; here both reductions
+    are MXU contractions over R / over C:
+
+      gauss side:  T0(c) = sum_r OHa;  Tr_j(c) = sum_r OHm * r_j(r);
+                   Trr_q(c) = sum_r OHg * rr_q(r)
+                   => dot(rf_t rows, OH) — the per-candidate reduced sums.
+                   The final combine with the candidate features (g_mu,
+                   g_Lambda from T0/Tr/Trr — ray_trace_voge.cu:324-330) is
+                   elementwise over (nb, M_max) rows and runs OUTSIDE in
+                   XLA (fine_bwd_compact_t_pallas wrapper).
+      rays side:   g_ray_i(r) = sum_j r_j(r) * [dot(sym_ij, OHg)](r)
+                                + [dot(A_i, OHm)](r)
+
+    with OHg/OHm/OHa = sum_k onehot(sel_k == ids) * coeff_k the three
+    matched coefficient matrices (coeff = entry-space chain gradients
+    g_ksk/g_msk/g_msm, computed in the c==0 prologue from the SAVED
+    selection primals: ksk = dsd, msk = len * dsd — no feature recompute).
+    Invalid slots carry zeroed coefficients, so padding candidates
+    (id == -1) matching invalid selections (-1) contribute exactly zero —
+    no gating pass needed.
+    """
+    if fold:
+        wt_ref, gwt_ref = refs[:2]
+        refs = refs[2:]
+    if want_rays:
+        og_ref, ort_ref, gk_s, gm_s, ga_s, racc = refs
+    else:
+        og_ref, gk_s, gm_s, ga_s = refs
+        ort_ref = racc = None
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+    Kp = gk_s.shape[0]
+    R = gk_s.shape[1]
+
+    @pl.when(c == 0)
+    def _():
+        og_ref[0] = jnp.zeros_like(og_ref[0])
+        if want_rays:
+            racc[:] = jnp.zeros_like(racc)
+        l = lt_ref[0]
+        a = at_ref[0]
+        d = dt_ref[0]
+        gl = glt_ref[0]
+        ga = gat_ref[0]
+        gd = gdt_ref[0]
+        if fold:
+            # transposed erf-compositing fold (math of fold_weights_pallas)
+            w = wt_ref[0]
+            s = jnp.sqrt(d + 1e-10)
+            e = jnp.exp(-a)
+            G = gwt_ref[0] * w
+
+            def _sweep(lk, sk, ek, Bc):
+                diff = l - lk
+                ca = diff * sk
+                phi = jnp.exp(-ca * ca) * _INV_SQRT_PI
+                Phi = (_erf32(ca) + 1.0) * 0.5
+                rows = (
+                    jnp.sum(G * Phi, axis=0, keepdims=True),
+                    jnp.sum(G * phi, axis=0, keepdims=True),
+                    jnp.sum(G * phi * diff, axis=0, keepdims=True),
+                )
+                return rows, Bc + (ek * sk) * phi
+
+            if K <= _MAX_UNROLL_K:
+                Bc = jnp.zeros_like(l)
+                A_r, C_r, D_r = [], [], []
+                for k in range(K):
+                    rows, Bc = _sweep(
+                        l[k:k + 1, :], jnp.sqrt(d[k:k + 1, :] + 1e-10),
+                        jnp.exp(-a[k:k + 1, :]), Bc,
+                    )
+                    A_r.append(rows[0])
+                    C_r.append(rows[1])
+                    D_r.append(rows[2])
+                pad = [jnp.zeros((Kp - K, R), jnp.float32)] if Kp > K else []
+                A = jnp.concatenate(A_r + pad, axis=0)
+                Cm = jnp.concatenate(C_r + pad, axis=0)
+                D = jnp.concatenate(D_r + pad, axis=0)
+            else:
+                # large K: dynamic sublane slices, one compiled body
+                ga_s[:] = jnp.zeros_like(ga_s)
+                gk_s[:] = jnp.zeros_like(gk_s)
+                gm_s[:] = jnp.zeros_like(gm_s)
+
+                def body(k, Bc):
+                    rows, Bc = _sweep(
+                        lt_ref[0, pl.ds(k, 1), :],
+                        jnp.sqrt(dt_ref[0, pl.ds(k, 1), :] + 1e-10),
+                        jnp.exp(-at_ref[0, pl.ds(k, 1), :]), Bc,
+                    )
+                    ga_s[pl.ds(k, 1), :] = rows[0]
+                    gk_s[pl.ds(k, 1), :] = rows[1]
+                    gm_s[pl.ds(k, 1), :] = rows[2]
+                    return Bc
+
+                Bc = jax.lax.fori_loop(0, K, body, jnp.zeros_like(l),
+                                       unroll=False)
+                A, Cm, D = ga_s[:], gk_s[:], gm_s[:]
+            f_ow = jnp.float32(ow)
+            ga = ga + (-G + f_ow * e * A)
+            gl = gl + (-f_ow * (G * Bc - e * s * Cm))
+            gd = gd + (-f_ow * e * D * (0.5 / s))
+        # entry-space chain rule (ray_trace_voge.cu:324-326) from the saved
+        # primals: ksk = dsd, msk = len * dsd; invalid slots zeroed
+        valid = selt_ref[0] >= 0
+        vf = jnp.where(valid, 1.0, 0.0)
+        lenv = jnp.where(valid, l, 0.0)
+        ksk = jnp.where(valid, d, 1.0)
+        msk = lenv * ksk
+        gl = gl * vf
+        ga = ga * vf
+        gd = gd * vf
+        gk_s[:] = (ga * msk - gl) * msk / (ksk * ksk) + gd
+        gm_s[:] = (gl - 2.0 * ga * msk) / ksk
+        ga_s[:] = ga
+
+    @pl.when(c < cnt_ref[b])
+    def _():
+        ids = ids_ref[0]                                    # (C, 1)
+        C = ids.shape[0]
+        rft = rft_ref[0]                                    # (FEAT, R)
+        gp = gp_ref[0]                                      # (FEAT, C)
+
+        def acc_k(k_sel, k_gk, k_gm, k_ga, carry):
+            OHg, OHm, OHa = carry
+            oh = jnp.where(ids == k_sel, 1.0, 0.0)          # (C, R)
+            return (OHg + oh * k_gk, OHm + oh * k_gm, OHa + oh * k_ga)
+
+        zero = jnp.zeros((C, R), jnp.float32)
+        if K <= _MAX_UNROLL_K:
+            OHg, OHm, OHa = zero, zero, zero
+            for k in range(K):
+                OHg, OHm, OHa = acc_k(
+                    selt_ref[0, k:k + 1, :], gk_s[k:k + 1, :],
+                    gm_s[k:k + 1, :], ga_s[k:k + 1, :], (OHg, OHm, OHa),
+                )
+        else:
+            def body(k, carry):
+                return acc_k(
+                    selt_ref[0, pl.ds(k, 1), :], gk_s[pl.ds(k, 1), :],
+                    gm_s[pl.ds(k, 1), :], ga_s[pl.ds(k, 1), :], carry,
+                )
+            OHg, OHm, OHa = jax.lax.fori_loop(
+                0, K, body, (zero, zero, zero), unroll=False
+            )
+
+        # gauss side: (q, C) = dot over R of (q, R) ray rows with (C, R) OH
+        # matrices — contraction dims (1, 1), no in-kernel transposes
+        dotR = lambda aq, OH: jax.lax.dot_general(
+            aq, OH, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ones_row = rft[0:1, :] * 0.0 + 1.0                   # (1, R)
+        T0 = dotR(ones_row, OHa)                             # (1, C)
+        Tr = dotR(rft[0:3, :], OHm)                          # (3, C)
+        Trr = dotR(rft[3:12, :], OHg)                        # (9, C)
+        # feature combine IN-KERNEL as (1, C) plane-row ops (an XLA combine
+        # over the (nb, M_max, 16) ROW-major table lane-slices/stacks cost
+        # ~3.4 ms at the 10K benchmark — lane-dim shuffles):
+        #   g_mu_i = sum_j L_ij Tr_j + T0 * sum_j (L_ij + L_ji) mu_j
+        #   g_L_ij = Trr_ij + Tr_j mu_i + T0 * mu_i mu_j
+        L = [[gp[4 + 3 * i + j: 5 + 3 * i + j, :] for j in range(3)]
+             for i in range(3)]
+        mu = [gp[13 + i: 14 + i, :] for i in range(3)]
+        Trj = [Tr[j:j + 1, :] for j in range(3)]
+        g_mu = [
+            sum(L[i][j] * Trj[j] for j in range(3))
+            + T0 * sum((L[i][j] + L[j][i]) * mu[j] for j in range(3))
+            for i in range(3)
+        ]
+        g_L = [
+            Trr[3 * i + j: 3 * i + j + 1, :] + Trj[j] * mu[i]
+            + T0 * mu[i] * mu[j]
+            for i in range(3) for j in range(3)
+        ]
+        zrow = jnp.zeros_like(T0)
+        contrib = jnp.concatenate(
+            g_mu + g_L + [zrow] * (og_ref.shape[1] - 12), axis=0
+        )                                                    # (FEAT, C)
+        off = csel_ref[b, c] * chunk
+        og_ref[0, :, pl.ds(off, chunk)] = (
+            og_ref[0, :, pl.ds(off, chunk)] + contrib
+        )
+
+        if want_rays:
+            # rays side: standard (n, C) @ (C, R) matmuls with the sym /
+            # A = Lambda^T mu rows built from the feature planes in-kernel
+            sym = jnp.concatenate(
+                [L[i][j] + L[j][i] for i in range(3) for j in range(3)],
+                axis=0,
+            )                                                # (9, C)
+            dotC = lambda f, OH: jax.lax.dot_general(
+                f, OH, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            A = dotC(sym, OHg)                               # (9, R)
+            Bv = dotC(gp[0:3, :], OHm)                       # (3, R)
+            racc[0:3, :] = racc[0:3, :] + jnp.concatenate(
+                [
+                    sum(A[3 * i + j:3 * i + j + 1, :] * rft[j:j + 1, :]
+                        for j in range(3)) + Bv[i:i + 1, :]
+                    for i in range(3)
+                ],
+                axis=0,
+            )
+
+    if want_rays:
+        @pl.when(c == n_c - 1)
+        def _():
+            ort_ref[0] = racc[:]
+
+
+def fine_bwd_compact_t_pallas(
+    rays_t,            # (nb, FEAT, R_pad) transposed ray features
+    table_c,           # (nb, M_max, FEAT) compacted candidate rows
+    ids_c,             # (nb, M_max, 1) int32 original ids (-1 pad)
+    counts_c,          # (nb,) member counts
+    raw,               # kernel-native (nb, Kp, R) primals: (idx, l, a, d[, w])
+    g_t,               # transposed cotangents (gl_t, ga_t, gd_t[, gw_t])
+    K: int, cand_chunk: int,
+    dst, B: int, P_pad: int,
+    agg_ow: float = 1.0, mode: str = "both", interpret: bool = False,
+    pos_c=None,
+):
+    """Transposed unified backward over the compacted candidate space.
+
+    :param raw: the select kernel's native (nb, Kp, R) output buffers
+        (idx, len, act, dsd[, w]) — free aliases of the forward outputs.
+    :param g_t: transposed incoming cotangents; with a 4th element (gw_t)
+        the erf-compositing weight fold runs in the kernel prologue.
+    :param dst: inverse emission mapping for the gather scatter-back; pass
+        ``None`` with ``pos_c`` set to fall back to the deterministic
+        ``segment_sum`` scatter (same contract as
+        :func:`fine_bwd_compact_pallas`).
+    :return: (gauss_grads (B, FEAT, P_pad): rows 0..2 grad_mu, 3..11
+        grad_Lambda;  ray_grads_t (nb, FEAT, R_pad) or None): same
+        contract as :func:`fine_bwd_compact_pallas` modulo the transposed
+        rays output.
+    """
+    from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
+
+    nb, M_max, FEAT_ = table_c.shape
+    _, Kp, R_pad = raw[0].shape
+    n_c = M_max // cand_chunk
+    csel, counts = prefix_visit_lists(counts_c, M_max, cand_chunk)
+    fold = len(g_t) == 4
+    want_rays = mode in ("both", "rays")
+
+    if fold:
+        idx_t, l_t, a_t, d_t, w_t = raw
+        gl_t, ga_t, gd_t, gw_t = g_t
+    else:
+        idx_t, l_t, a_t, d_t = raw[:4]
+        w_t = None
+        gl_t, ga_t, gd_t = g_t
+
+    # candidate feature PLANES: one whole-array transpose (sym / A rows and
+    # the gradient feature-combine are (1, C) row ops inside the kernel —
+    # lane-dim stacks/slices of the ROW-major table in XLA cost ~3.4 ms at
+    # the 10K benchmark)
+    planes_c = jnp.swapaxes(table_c, 1, 2)                   # (nb, FEAT, M)
+
+    kernel = functools.partial(
+        _bwd_t_kernel, K=int(K), chunk=int(cand_chunk),
+        want_rays=want_rays, fold=fold, ow=float(agg_ow),
+    )
+    cmap = lambda b, c, cs, ct: (b, cs[b, c], 0)
+    bmap = lambda b, c, cs, ct: (b, 0, 0)
+    slot_t = pl.BlockSpec((1, Kp, R_pad), bmap, memory_space=pltpu.VMEM)
+    gmap = lambda b, c, cs, ct: (b, 0, cs[b, c])
+    in_specs = [
+        pl.BlockSpec((1, cand_chunk, 1), cmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, FEAT, cand_chunk), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, FEAT, R_pad), bmap, memory_space=pltpu.VMEM),
+        slot_t, slot_t, slot_t, slot_t, slot_t, slot_t, slot_t,
+    ]
+    inputs = [ids_c, planes_c, rays_t, idx_t, l_t, a_t, d_t, gl_t, ga_t,
+              gd_t]
+    if fold:
+        in_specs += [slot_t, slot_t]
+        inputs += [w_t, gw_t]
+    og_spec = pl.BlockSpec((1, FEAT, M_max), bmap, memory_space=pltpu.VMEM)
+    out_specs = [og_spec]
+    out_shapes = [jax.ShapeDtypeStruct((nb, FEAT, M_max), jnp.float32)]
+    if want_rays:
+        out_specs.append(
+            pl.BlockSpec((1, FEAT, R_pad), bmap, memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nb, FEAT, R_pad), jnp.float32)
+        )
+    scratch = [pltpu.VMEM((Kp, R_pad), jnp.float32)] * 3
+    if want_rays:
+        scratch.append(pltpu.VMEM((FEAT, R_pad), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb, n_c),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(csel, counts, *inputs)
+    og = out[0]                                              # (nb, 16, M_max)
+    rb_t = out[1] if want_rays else None
+    rows = jnp.swapaxes(og, 1, 2).reshape(nb * M_max, FEAT)
+    if dst is not None:
+        gg = _gather_back(rows, dst, B, P_pad, nb * M_max)
+        return jnp.swapaxes(gg, 1, 2), rb_t
+    # segment_sum fallback (testing / no inverse-emission mapping)
+    iota = jnp.arange(M_max, dtype=jnp.int32)[None]
+    valid = iota < counts_c[:, None]
+    img = jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
+    flat = jnp.where(valid, img * P_pad + pos_c, B * P_pad).reshape(-1)
+    summed = jax.ops.segment_sum(rows, flat, num_segments=B * P_pad + 1)
+    gg = summed[: B * P_pad].reshape(B, P_pad, FEAT)
+    return jnp.swapaxes(gg, 1, 2), rb_t
+
+
 def _common_specs(ray_chunk, cand_chunk, K, bh_bw, order, G=1):
     """BlockSpecs for (mask, gf, rf, sel, gl, ga, gd) under a grid index
     order: 'cbr' (c, b, r) or 'brc' (b, r, c)."""

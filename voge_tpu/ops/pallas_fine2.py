@@ -95,7 +95,7 @@ def _kernel_tc(
     *refs,      # (1, Kp, R) outputs oi/ol/oa/od (+ow if agg_ow), then
                 # (Kp, R) scratch run_len/run_act/run_dsd/run_idx
     thr_act: float, K: int, chunk: int, sub_bins: int,
-    agg_ow=None,
+    agg_ow=None, hit_eval: str = "vpu",
 ):
     """Transposed layout: candidates on SUBLANES, rays on LANES.
 
@@ -152,16 +152,30 @@ def _kernel_tc(
         bits = jnp.broadcast_to(bits_ref[0], (C, R))
         lane_bin = jax.lax.broadcasted_iota(jnp.int32, (C, R), 1) // R_bin
         member = jax.lax.shift_right_logical(bits, lane_bin) & 1
-        msk = jax.lax.dot_general(
-            tab[:, 0:3], rf[0:3, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                        # (C, R)
-        ksk = jax.lax.dot_general(
-            tab[:, 4:13], rf[3:12, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                        # (C, R)
+        if hit_eval == "vpu":
+            # 3- and 9-deep contractions: the MXU pads the contraction to
+            # 128 and precision HIGHEST multiplies that by 6 (bf16x6) —
+            # measured ~2/3 of this kernel's time at the 10K benchmark.
+            # Broadcast FMAs on the VPU compute the same sums in exact f32
+            # (no bf16 splitting at all) in 12 passes over (C, R).
+            msk = sum(
+                tab[:, d : d + 1] * rf[d : d + 1, :] for d in range(3)
+            )                                                    # (C, R)
+            ksk = sum(
+                tab[:, 4 + q : 5 + q] * rf[3 + q : 4 + q, :]
+                for q in range(9)
+            )                                                    # (C, R)
+        else:
+            prec = (jax.lax.Precision.HIGHEST if hit_eval == "mxu6"
+                    else jax.lax.Precision.DEFAULT)
+            msk = jax.lax.dot_general(
+                tab[:, 0:3], rf[0:3, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )                                                    # (C, R)
+            ksk = jax.lax.dot_general(
+                tab[:, 4:13], rf[3:12, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )                                                    # (C, R)
         length = msk / ksk
         # act = d^T Lambda d with d = mu - len * r: the compensated residual
         # form of msm - msk^2/ksk — immune to the eps*msm cancellation that
@@ -290,6 +304,7 @@ def fine_select_compact_pallas(
     agg_ow=None,            # float: fuse erf compositing, emit weights as a
                             # 5th output; None: selection only
     return_raw: bool = False,
+    hit_eval: str = "vpu",  # "vpu" (exact f32 FMAs), "mxu6", "mxu1"
 ) -> Tuple[jax.Array, ...]:
     """Streaming top-K selection over a (possibly per-supertile-compacted)
     candidate table; returns ray-major (nb, R_pad, K) selections (plus
@@ -321,6 +336,7 @@ def fine_select_compact_pallas(
         _kernel_tc, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
         sub_bins=int(sub_bins),
         agg_ow=None if agg_ow is None else float(agg_ow),
+        hit_eval=hit_eval,
     )
     n_out = 4 if agg_ow is None else 5
     out_shapes = [jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.int32)] + [
@@ -361,10 +377,11 @@ def fine_select_compact_pallas(
     # back to ray-major (nb, R_pad, K) for downstream consumers
     swapped = tuple(jnp.swapaxes(x, 1, 2)[:, :, :K] for x in out)
     if return_raw:
-        # the kernel-native (nb, Kp, R_pad) buffers (len, act, dsd, weight),
-        # free aliases of the outputs above — consumed by the transposed
-        # weight-fold backward kernel (fold_weights_pallas)
-        return swapped, tuple(out[1:])
+        # the kernel-native (nb, Kp, R_pad) buffers (idx, len, act, dsd
+        # [, weight]), free aliases of the outputs above — consumed by the
+        # transposed backward kernels (fine_bwd_compact_t_pallas /
+        # fold_weights_pallas)
+        return swapped, tuple(out)
     return swapped
 
 
