@@ -401,3 +401,58 @@ def test_data_parallel_batchifier_runs():
     np.testing.assert_allclose(
         np.asarray(out), np.arange(24.0).reshape(24, 1) * 2
     )
+
+
+@pytest.mark.slow
+def test_sharded_render_realistic_shapes_and_overflow_propagation():
+    """One size up from the toy sharded tests (round-3 verdict): 128^2,
+    K=20, ~5K Gaussians on a (2, 4) mesh — realistic candidate density
+    through the binned path under shard_map — and the overflow counter
+    must propagate through the mesh: zero at generous capacity (with
+    parity against the single-device render), positive when the per-bin
+    capacity is squeezed."""
+    from voge_tpu.renderer import get_overflow_points
+
+    g = Cuboid.cuboid_gauss((-1, 1), (-1, 1), (-1, 1), 5000,
+                            percentage=0.6, as_obj=True)
+    N = g.verts.shape[0]
+    Np = ((N + 7) // 8) * 8
+    verts = jnp.pad(jnp.asarray(g.verts), ((0, Np - N), (0, 0)),
+                    constant_values=100.0)
+    sigmas = jnp.pad(jnp.asarray(g.sigmas), ((0, Np - N),),
+                     constant_values=1.0)
+    B = 2
+    R, T = look_at_view_transform(
+        dist=[6.0] * B, elev=[10.0, 30.0], azim=[-40.0, 50.0])
+    focal = jnp.broadcast_to(jnp.asarray([[150.0, 150.0]]), (B, 2))
+    principal = jnp.broadcast_to(jnp.asarray([[64.0, 64.0]]), (B, 2))
+    kwargs = dict(image_size=(128, 128), max_assign=20)
+    mesh = make_mesh(("data", "model"), (2, 4))
+
+    frag_1 = render_pipeline(
+        verts, sigmas, R, T, focal, principal,
+        max_point_per_bin=Np, **kwargs,
+    )
+    assert int(get_overflow_points(frag_1)) == 0
+    frag_s = render_pipeline_sharded(
+        verts, sigmas, R, T, focal, principal, mesh=mesh,
+        max_point_per_bin=Np, **kwargs,
+    )
+    assert int(get_overflow_points(frag_s)) == 0
+
+    i1 = np.asarray(frag_1.vert_index)
+    i2 = np.asarray(frag_s.vert_index)
+    exact = (i1 == i2).all(axis=-1)
+    assert exact.mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(frag_s.vert_weight)[exact],
+        np.asarray(frag_1.vert_weight)[exact],
+        rtol=1e-4, atol=5e-5,
+    )
+
+    # squeeze the per-bin capacity: drops must surface through shard_map
+    frag_tight = render_pipeline_sharded(
+        verts, sigmas, R, T, focal, principal, mesh=mesh,
+        max_point_per_bin=16, **kwargs,
+    )
+    assert int(get_overflow_points(frag_tight)) > 0

@@ -29,50 +29,48 @@ def _grid_samples(x_range, y_range, z_range, number_vertices):
     return x_samples, y_samples, z_samples, edge_length
 
 
+def _face_points(fast, slow, fixed, axes):
+    """All (fast x slow) grid points of one cuboid face as an (n, 3) block:
+    ``fast`` varies within a row, ``slow`` across rows, ``fixed`` is the
+    face's constant coordinate.  ``axes`` maps (fast, slow, fixed) onto
+    (x, y, z) output columns."""
+    F, S = np.meshgrid(fast, slow)  # (slow, fast): fast varies last
+    cols = {axes[0]: F.ravel(), axes[1]: S.ravel(),
+            axes[2]: np.full(F.size, fixed)}
+    return np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
+
+
 def cuboid_gauss(
     x_range, y_range, z_range, number_vertices, percentage: float = 0.5,
     colors=None, as_obj: bool = False,
 ):
-    """Sample a cuboid surface as isotropic Gaussians
-    (reference ``Cuboid.py:8-67``).
+    """Sample a cuboid surface as isotropic Gaussians — same point set and
+    emission order as reference ``Cuboid.py:8-67`` (colors map onto faces
+    by block position): the two z faces carry full grids; the four side
+    walls carry only interior-z rows, each dropping one vertical edge
+    column so the wall seams are covered exactly once.
 
     :return: (verts (N,3), isigma (N,), [colors (N,3)]) or
         :class:`GaussianMeshes` when ``as_obj=True``.
     """
     xs, ys, zs, edge_length = _grid_samples(x_range, y_range, z_range, number_vertices)
     xn, yn, zn = xs.size, ys.size, zs.size
+    z_in = zs[1:-1]  # interior rows; z edges belong to the z faces
 
-    out_vertices = []
-    counts = [
-        yn * xn, yn * xn,
-        (zn - 2) * (xn - 1), (zn - 2) * (xn - 1),
-        (zn - 2) * (yn - 1), (zn - 2) * (yn - 1),
+    faces = [
+        _face_points(xs, ys, zs[0], "xyz"),        # bottom
+        _face_points(xs, ys, zs[-1], "xyz"),       # top
+        _face_points(xs[:-1], z_in, ys[0], "xzy"),  # y=min wall, drops x max
+        _face_points(xs[1:], z_in, ys[-1], "xzy"),  # y=max wall, drops x min
+        _face_points(ys[1:], z_in, xs[0], "yzx"),   # x=min wall, drops y min
+        _face_points(ys[:-1], z_in, xs[-1], "yzx"),  # x=max wall, drops y max
     ]
-    # bottom / top z faces
-    for n in range(yn):
-        for m in range(xn):
-            out_vertices.append((xs[m], ys[n], zs[0]))
-    for n in range(yn):
-        for m in range(xn):
-            out_vertices.append((xs[m], ys[n], zs[-1]))
-    # side walls (interior z rows only)
-    for n in range(1, zn - 1):
-        for m in range(xn - 1):
-            out_vertices.append((xs[m], ys[0], zs[n]))
-    for n in range(1, zn - 1):
-        for m in range(1, xn):
-            out_vertices.append((xs[m], ys[-1], zs[n]))
-    for n in range(1, zn - 1):
-        for m in range(1, yn):
-            out_vertices.append((xs[0], ys[m], zs[n]))
-    for n in range(1, zn - 1):
-        for m in range(yn - 1):
-            out_vertices.append((xs[-1], ys[m], zs[n]))
+    counts = [f.shape[0] for f in faces]
+    verts = np.concatenate(faces, axis=0)
 
     sigma = (edge_length ** 2) / (2 * np.log(1 / percentage)) + 1e-10
     isigma = 1 / sigma
-    verts = np.array(out_vertices)
-    isigmas = np.ones(len(out_vertices)) * isigma
+    isigmas = np.ones(verts.shape[0]) * isigma
 
     if colors is not None:
         out_colors = np.concatenate(
@@ -103,38 +101,32 @@ def cuboid_mesh(x_range, y_range, z_range, number_vertices, colors=None, as_obj:
         raw arrays too (we have no Meshes structure; wrap as needed).
     """
     xs, ys, zs, _ = _grid_samples(x_range, y_range, z_range, number_vertices)
-    xn, yn, zn = xs.size, ys.size, zs.size
 
-    counts = [yn * xn, yn * xn, zn * xn, zn * xn, zn * yn, zn * yn]
-    out_vertices = []
-    out_faces = []
-    base_idx = 0
+    def quad_tris(an, bn, base):
+        """Two counter-wound triangles per grid quad, quad-major order:
+        (v, v+1, v+bn) then (v+bn+1, v+1, v+bn) for v = base + m*bn + n."""
+        v = base + (np.arange(an - 1)[:, None] * bn + np.arange(bn - 1))
+        tri1 = np.stack([v, v + 1, v + bn], axis=-1)
+        tri2 = np.stack([v + bn + 1, v + 1, v + bn], axis=-1)
+        return np.stack([tri1, tri2], axis=2).reshape(-1, 3)
 
-    def grid_face(a_samples, b_samples, point_fn):
-        nonlocal base_idx
-        an, bn = a_samples.size, b_samples.size
-        for n in range(an):
-            for m in range(bn):
-                out_vertices.append(point_fn(b_samples[m], a_samples[n]))
-        for m in range(an - 1):
-            for n in range(bn - 1):
-                out_faces.append(
-                    (base_idx + m * bn + n, base_idx + m * bn + n + 1, base_idx + (m + 1) * bn + n)
-                )
-                out_faces.append(
-                    (base_idx + (m + 1) * bn + n + 1, base_idx + m * bn + n + 1, base_idx + (m + 1) * bn + n)
-                )
-        base_idx += an * bn
-
-    grid_face(ys, xs, lambda x, y: (x, y, zs[0]))
-    grid_face(ys, xs, lambda x, y: (x, y, zs[-1]))
-    grid_face(zs, xs, lambda x, z: (x, ys[0], z))
-    grid_face(zs, xs, lambda x, z: (x, ys[-1], z))
-    grid_face(zs, ys, lambda y, z: (xs[0], y, z))
-    grid_face(zs, ys, lambda y, z: (xs[-1], y, z))
-
-    verts = np.array(out_vertices)
-    faces = np.array(out_faces)
+    # full (a x b) grids on all six faces (unlike cuboid_gauss, seams are
+    # duplicated — each face is an independent triangulated patch)
+    blocks = [
+        (_face_points(xs, ys, zs[0], "xyz"), ys.size, xs.size),
+        (_face_points(xs, ys, zs[-1], "xyz"), ys.size, xs.size),
+        (_face_points(xs, zs, ys[0], "xzy"), zs.size, xs.size),
+        (_face_points(xs, zs, ys[-1], "xzy"), zs.size, xs.size),
+        (_face_points(ys, zs, xs[0], "yzx"), zs.size, ys.size),
+        (_face_points(ys, zs, xs[-1], "yzx"), zs.size, ys.size),
+    ]
+    counts = [pts.shape[0] for pts, _, _ in blocks]
+    bases = np.cumsum([0] + counts[:-1])
+    verts = np.concatenate([pts for pts, _, _ in blocks], axis=0)
+    faces = np.concatenate(
+        [quad_tris(an, bn, base)
+         for (_, an, bn), base in zip(blocks, bases)], axis=0,
+    )
     if colors is not None:
         out_colors = np.concatenate(
             [np.repeat(c[None, :], r, axis=0) for r, c in zip(counts, colors)],

@@ -34,50 +34,46 @@ def _fromtext(text: str, dtype) -> np.ndarray:
 
 
 def load_off(file_name, to_torch: bool = False, ignore_color: bool = False):
-    """Load OFF/COFF mesh (reference ``IO.py:11-58``).
+    """Load OFF/COFF mesh (behavior of reference ``IO.py:11-58``; fresh
+    header-parse / block-slice implementation).
+
+    The file is two numeric blocks after a 2-line header: ``n_points``
+    vertex rows of ``3 [+ color]`` floats, then ``n_faces`` face rows of
+    ``arity idx... [color...]`` ints.  Each block is parsed in one pass
+    and the optional color columns are split off by width.
 
     :return: (verts, faces[, vert_color][, face_color]) numpy arrays
         (torch tensors with ``to_torch=True``).
     """
     with open(file_name) as file_handle:
-        file_list = file_handle.readlines()
+        lines = file_handle.readlines()
 
-    if ignore_color:
-        colored = False
-    elif file_list[0][0:4] == "COFF":
-        colored = True
-    elif file_list[0][0:3] == "OFF":
-        colored = False
-    else:
-        raise Exception("Unsupported OFF format: %s" % file_list[0].strip())
+    head = lines[0]
+    # prefix match on the raw magic line; COFF carries color columns
+    has_color = (not ignore_color) and head[:4] == "COFF"
+    if not ignore_color and not (has_color or head[:3] == "OFF"):
+        raise Exception("Unsupported OFF format: %s" % head.strip())
 
-    n_points = int(file_list[1].split(" ")[0])
-    verts = _fromtext("".join(file_list[2 : 2 + n_points]), np.float32)
-    verts = verts.reshape((n_points, -1))
+    counts = lines[1].split()
+    n_points, n_faces = int(counts[0]), int(counts[1])
 
-    if colored and verts.shape[1] > 3:
-        verts, vert_color = verts[:, 0:3], verts[:, 3:]
-        out = [verts, None, vert_color]
-    else:
-        verts = verts[:, 0:3]
-        out = [verts, None]
+    vb = _fromtext("".join(lines[2 : 2 + n_points]), np.float32)
+    vb = vb.reshape((n_points, -1))
+    fb = _fromtext("".join(lines[2 + n_points :]), np.int32)
+    fb = fb.reshape((n_faces, -1)) if n_faces > 0 else fb.reshape((0, 4))
+    arity = int(fb[0, 0]) if n_faces > 0 else 3
 
-    n_faces = int(file_list[1].split(" ")[1])
-    faces = _fromtext("".join(file_list[2 + n_points :]), np.int32)
-    faces = faces.reshape((n_faces, -1)) if n_faces > 0 else faces.reshape((0, 4))
+    parts = {"verts": vb[:, 0:3], "faces": fb[:, 1 : arity + 1]}
+    if has_color and vb.shape[1] > 3:
+        parts["vert_color"] = vb[:, 3:]
+    if has_color and n_faces > 0 and fb.shape[1] > arity + 1:
+        parts["face_color"] = fb[:, arity + 1 :]
 
-    n_vert_per_face = int(faces[0][0]) if n_faces > 0 else 3
-    if colored and n_faces > 0 and faces.shape[1] > n_vert_per_face + 1:
-        faces, face_color = (
-            faces[:, 1 : n_vert_per_face + 1],
-            faces[:, (n_vert_per_face + 1) :],
-        )
-        out[1] = faces
-        out.append(face_color)
-    else:
-        faces = faces[:, 1 : n_vert_per_face + 1]
-        out[1] = faces
-
+    out = [
+        parts[k]
+        for k in ("verts", "faces", "vert_color", "face_color")
+        if k in parts
+    ]
     if to_torch:
         import torch
 

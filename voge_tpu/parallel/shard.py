@@ -164,12 +164,13 @@ def render_pipeline_sharded(
         from voge_tpu.utils import inv3x3
 
         isig = 2.0 * inv3x3(sig) if inverse_sigma else 2.0 * sig
-        sel = ray_tracing(
+        sel, ovf = ray_tracing(
             (R_l, T_l, f_l, p_l), verts_t, isig, rays, size,
             thr=thr_activation, n_assign=max_assign,
             bin_size=bin_size, max_points_per_bin=max_point_per_bin,
+            return_overflow=True,
         )
-        sel_idx, sel_len, sel_act, sel_dsd = sel
+        sel_idx, sel_len, sel_act, sel_dsd = sel[:4]
         if src_shard is not None:
             # local (b * N_l + p) -> global (b * N + src_shard * N_l + p)
             valid = sel_idx >= 0
@@ -177,7 +178,7 @@ def render_pipeline_sharded(
             p_of = sel_idx % N_l
             g_idx = b_of * N + src_shard * N_l + p_of
             sel_idx = jnp.where(valid, g_idx, -1)
-        return sel_idx, sel_len, sel_act, sel_dsd
+        return (sel_idx, sel_len, sel_act, sel_dsd), ovf
 
     def _merge2(a, b, K):
         """Keep the K nearest of two per-pixel K-lists (ring-step fold)."""
@@ -212,14 +213,15 @@ def render_pipeline_sharded(
             p_rows = p_l - shift
             sub_size = (H_l, image_size[1])
             blk_v, blk_s = verts_l, sigmas_l
-            run = None
+            run, ovf = None, jnp.int32(0)
             perm = [(i, (i + 1) % m_size) for i in range(m_size)]
             for s in range(m_size):
                 src = (my - s) % m_size
-                sel = _select_block(
+                sel, ovf_s = _select_block(
                     blk_v, blk_s, R_l, T_l, f_l, p_rows, src,
                     size=sub_size,
                 )
+                ovf = ovf + ovf_s
                 run = sel if run is None else _merge2(run, sel, max_assign)
                 if s < m_size - 1:
                     blk_v = jax.lax.ppermute(blk_v, model_axis, perm)
@@ -227,7 +229,7 @@ def render_pipeline_sharded(
             sel_idx, sel_len, sel_act, sel_dsd = run
         else:
             shard = jax.lax.axis_index(model_axis)
-            sel_idx, sel_len, sel_act, sel_dsd = _select_block(
+            (sel_idx, sel_len, sel_act, sel_dsd), ovf = _select_block(
                 verts_l, sigmas_l, R_l, T_l, f_l, p_l, shard
             )
             sel_idx, sel_len, sel_act, sel_dsd = _merge_topk(
@@ -246,7 +248,11 @@ def render_pipeline_sharded(
             sel_dsd=sel_dsd, occupation_weight=absorptivity,
         )
         valid_num = jnp.sum(sel_idx >= 0, axis=-1)
-        return vert_weight, sel_idx, valid_num, sel_len
+        # total dropped candidates across every shard (replicated scalar)
+        ovf_tot = jax.lax.psum(
+            jax.lax.psum(ovf, model_axis), data_axis
+        )
+        return vert_weight, sel_idx, valid_num, sel_len, ovf_tot
 
     model_spec = P(model_axis) if model_axis else P()
     model_spec33 = P(model_axis, None, None) if model_axis else P()
@@ -267,13 +273,13 @@ def render_pipeline_sharded(
             model_spec33,
             P(data_axis), P(data_axis), P(data_axis), P(data_axis),
         ),
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_specs=(out_spec, out_spec, out_spec, out_spec, P()),
         check_vma=False,
     )(verts, sigmas, R, T, focal, principal)
-    vert_weight, sel_idx, valid_num, sel_len = out
+    vert_weight, sel_idx, valid_num, sel_len, ovf = out
     return Fragments(
         vert_weight=vert_weight, vert_index=sel_idx, valid_num=valid_num,
-        vert_hit_length=sel_len,
+        vert_hit_length=sel_len, overflow_points=ovf,
     )
 
 

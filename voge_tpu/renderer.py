@@ -277,6 +277,15 @@ def render_pipeline(
     fitting loop over fixed cameras): the fine backward skips the per-ray
     gradient pass entirely and returns zero ray gradients.  Leave True
     when optimizing R/T/focal through the renderer (pose estimation)."""
+    # bf16/f16 geometry is accepted (the reference runs its renderer under
+    # torch.cuda.amp.autocast, Utils.py:218-228) but the selection math is
+    # accuracy-critical — promote to f32 at the boundary; Fragments are
+    # always f32.
+    if verts.dtype != jnp.float32:
+        verts = verts.astype(jnp.float32)
+    sigmas = jnp.asarray(sigmas)
+    if sigmas.dtype != jnp.float32:
+        sigmas = sigmas.astype(jnp.float32)
     sigmas = expend_sigma(sigmas)
     if verts.ndim == 2:
         verts = verts[None]
@@ -466,7 +475,11 @@ def interpolate_attr(fragments: Fragments, vert_attr: jax.Array) -> jax.Array:
         from voge_tpu.ops.fine import _kern_k_ok
 
         if _kern_k_ok(fragments.vert_index.shape[-1]):
-            return _interpolate_attr_fused(fragments, vert_attr)
+            out = _interpolate_attr_fused(fragments, vert_attr)
+            # fused kernels compute in f32; return per promotion rules so
+            # bf16 attrs against f32 weights match the XLA fallback
+            dt = jnp.result_type(vert_attr.dtype, fragments.vert_weight.dtype)
+            return out.astype(dt)
     n_needed = int(fragments.vert_index.shape[0])
     idx = fragments.vert_index
     if (
