@@ -519,7 +519,7 @@ def test_emit_supertile_dst_mapping(case):
     # 1. every valid local destination slot holds exactly that Gaussian
     seen = set()
     for p in range(P):
-        for w in range(9):
+        for w in range(dst_l.shape[2]):
             d = int(dst_l[0, p, w])
             if d < 0:
                 continue

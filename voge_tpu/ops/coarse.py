@@ -204,10 +204,16 @@ def emit_supertile_candidates(
     The TPU-native analog of the CUDA coarse binner's per-Gaussian bbox walk
     (``rasterize_coarse.cu:111-185``): instead of materializing the dense
     (bins, P) overlap mask and argsort-compacting it (O(bins*P) work — the
-    round-1 design), every Gaussian *emits* up to 9 (supertile, index, bits)
-    keys for the 3x3 supertile window covering its pixel-space bbox; one
-    flat sort of the ~9P keys groups them by supertile, and fixed-capacity
-    rows are sliced out of the sorted stream.  The per-2x2-sub-bin
+    round-1 design), every Gaussian *emits* up to 4 (supertile, index, bits)
+    keys for the 2x2 supertile window covering its pixel-space bbox; one
+    flat sort of the ~4P keys groups them by supertile, and fixed-capacity
+    rows are sliced out of the sorted stream.  (A 2x2 window suffices
+    because the lowest overlapped BIN starts at ``lo - b`` — the overlap
+    test is ``lo <= bin_start + b`` — so supertiles
+    [floor((lo-b)/2b), floor(hi/2b)] cover every overlap; the span exceeds
+    2 only when the pixel radius approaches a full supertile, which routes
+    to the global path.  Round-4 change: the previous conservative 3x3
+    window made the emission sort the largest single coarse cost.)  The per-2x2-sub-bin
     membership bits are computed AT EMISSION (the same float comparisons
     ``overlap_mask`` uses) and ride in the key's low 4 bits — the sliced
     rows decode position and bits arithmetically, with no per-element
@@ -215,8 +221,8 @@ def emit_supertile_candidates(
     element gathers are slow).  Candidate sets are identical to the mask
     path (``tests/test_ops.py::test_emit_supertile_matches_overlap_mask``).
 
-    Gaussians whose bbox spans more than the 3-supertile window (rare: a
-    pixel radius above ~1.5 supertiles, or z ~ 0 blowing the projected
+    Gaussians whose bbox spans more than the 2-supertile window (rare: a
+    pixel radius approaching a supertile, or z ~ 0 blowing the projected
     radius up to the whole screen) are *global*: the first ``n_globals``
     of them (ascending index) emit one key per overlapped supertile, so
     they sort into the rows like any local member (exact bits, exact
@@ -239,7 +245,7 @@ def emit_supertile_candidates(
 
     With ``return_dst`` a sixth element carries the INVERSE mapping —
     per-emission destination slots in the compacted rows:
-        (dst_l (B, P, 9) int32 = row * M_max + rank, -1 when not emitted /
+        (dst_l (B, P, 4) int32 = row * M_max + rank, -1 when not emitted /
          truncated;  dst_g (B, n_globals, nst) likewise for the global
          members;  gpos (B, n_globals) their Gaussian indices;
          g_valid (B, n_globals) bool).
@@ -267,22 +273,24 @@ def emit_supertile_candidates(
     rx, ry = _pixel_radii_planes(R, focal, isigmas, thr, z)
     keep = ~(z < 0)
 
-    # conservative integer supertile window [f0, f0 + 3) per axis:
-    # floor((u-rx)/st) - 1 <= lowest overlapped supertile and
-    # floor((u+rx)/st) >= highest; span > 3 supertiles -> global
+    # tight integer supertile window [f0, f0 + 2) per axis: the lowest
+    # overlapped bin satisfies bin_start > (c - r) - b (overlap test
+    # ``lo <= bin_start + b``), so f0 = floor((c - r - b)/st) covers it;
+    # the highest overlapped bin has bin_start < (c + r), so
+    # f1 = floor((c + r)/st) covers it.  span > 2 supertiles -> global.
     def _window(c, r):
-        lo = (c - r) / st
+        lo = (c - r - fb) / st
         hi = (c + r) / st
         fin = jnp.isfinite(lo) & jnp.isfinite(hi)
         f0 = jnp.where(fin, jnp.floor(jnp.where(fin, lo, 0.0)), 0.0)
         f1 = jnp.where(fin, jnp.floor(jnp.where(fin, hi, 0.0)), -2.0)
-        f0 = jnp.clip(f0, -2.0**30, 2.0**30).astype(jnp.int32) - 1
+        f0 = jnp.clip(f0, -2.0**30, 2.0**30).astype(jnp.int32)
         w = jnp.clip(f1, -2.0**30, 2.0**30).astype(jnp.int32) - f0 + 1
         return f0, w, fin
 
     fx0, wx, finx = _window(u, rx)
     fy0, wy, finy = _window(v, ry)
-    oversize = keep & ((~finx) | (~finy) | (wx > 3) | (wy > 3))
+    oversize = keep & ((~finx) | (~finy) | (wx > 2) | (wy > 2))
 
     def _bits(uu, vv, rxx, ryy, sxf, syf):
         """Exact 2x2 sub-bin membership bits for supertile pixel origin
@@ -301,14 +309,15 @@ def emit_supertile_candidates(
                 bits = t if bits is None else bits | t
         return bits
 
-    dx = jnp.arange(9, dtype=jnp.int32) % 3                   # (9,)
-    dy = jnp.arange(9, dtype=jnp.int32) // 3
-    sx = fx0[..., None] + dx                                  # (B, P, 9)
+    EMIT = 4
+    dx = jnp.arange(EMIT, dtype=jnp.int32) % 2                # (4,)
+    dy = jnp.arange(EMIT, dtype=jnp.int32) // 2
+    sx = fx0[..., None] + dx                                  # (B, P, 4)
     sy = fy0[..., None] + dy
     sxf = sx.astype(points.dtype) * st
     syf = sy.astype(points.dtype) * st
     bits_l = _bits(u[..., None], v[..., None], rx[..., None], ry[..., None],
-                   sxf, syf)                                  # (B, P, 9)
+                   sxf, syf)                                  # (B, P, 4)
     valid = (
         keep[..., None] & (~oversize)[..., None]
         & (sx >= 0) & (sx < BW2) & (sy >= 0) & (sy < BH2)
@@ -397,8 +406,8 @@ def emit_supertile_candidates(
     dst_s = jnp.where((run_id < nb) & (rank_s < M_max),
                       run_id * M_max + rank_s, -1)
     dst_e = jnp.full((tot,), -1, jnp.int32).at[order].set(dst_s)
-    n_loc = B * P * 9
-    dst_l = dst_e[:n_loc].reshape(B, P, 9)
+    n_loc = B * P * EMIT
+    dst_l = dst_e[:n_loc].reshape(B, P, EMIT)
     if n_globals:
         dst_g = dst_e[n_loc:].reshape(B, n_globals, nst)
     else:

@@ -563,8 +563,10 @@ def _bwd_t_kernel(
     selt_ref,   # (1, Kp, R) int32 raw selection ids (kernel-native)
     lt_ref, at_ref, dt_ref,      # (1, Kp, R) raw selection primals
     glt_ref, gat_ref, gdt_ref,   # (1, Kp, R) transposed cotangents
-    *refs,      # [wt_ref, gwt_ref when fold] then outputs og(,ort) + scratch
+    *refs,      # [wt_ref, gwt_ref when fold] [gimg_ref (1, Ca, R) when
+                # n_attr] then outputs og(,ort) + scratch
     K: int, chunk: int, want_rays: bool, fold: bool, ow: float,
+    n_attr: int = 0,
 ):
     """Fully TRANSPOSED unified fine backward: slots on sublanes (Kp rows),
     rays on lanes — the layout the select kernel already produces, so the
@@ -596,6 +598,10 @@ def _bwd_t_kernel(
     if fold:
         wt_ref, gwt_ref = refs[:2]
         refs = refs[2:]
+    gimg_ref = None
+    if n_attr:
+        gimg_ref = refs[0]
+        refs = refs[1:]
     if want_rays:
         og_ref, ort_ref, gk_s, gm_s, ga_s, racc = refs
     else:
@@ -618,12 +624,68 @@ def _bwd_t_kernel(
         gl = glt_ref[0]
         ga = gat_ref[0]
         gd = gdt_ref[0]
+        if n_attr:
+            # Fused attribute backward (the ``interpolate_attr`` VJP,
+            # pallas_attr._bwd_unified_kernel math) on the single-chunk
+            # candidate space: both sides reuse the slot-to-candidate
+            # one-hot; d_w folds straight into the weight cotangent below
+            # and d_attr rows ride the og output block (rows FEAT..).
+            #   S[c, r]   = sum_ca attr[c, ca] * g_img[ca, r]
+            #   d_w[k, r] = S[sel_k(r), r]
+            #   d_attr[ca, c] = sum_r W[c, r] * g_img[ca, r],
+            #   W[c, r]   = sum_k [ids_c == sel_k] w[k, r]
+            ids_col = ids_ref[0]                         # (C, 1)
+            attr_p = gp_ref[0][FEAT:FEAT + n_attr]       # (Ca, C)
+            gimg = gimg_ref[0]                           # (Ca, R)
+            S = jax.lax.dot_general(
+                attr_p, gimg, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # (C, R)
+            w_all = wt_ref[0]                            # (Kp, R)
+            C_ = ids_col.shape[0]
+            if K <= _MAX_UNROLL_K:
+                Wc = jnp.zeros((C_, R), jnp.float32)
+                dw_rows = []
+                for k in range(K):
+                    oh = ids_col == selt_ref[0, k:k + 1, :]
+                    Wc = Wc + jnp.where(oh, w_all[k:k + 1, :], 0.0)
+                    dw_rows.append(jnp.sum(
+                        jnp.where(oh, S, 0.0), axis=0, keepdims=True
+                    ))
+                if Kp > K:
+                    dw_rows.append(jnp.zeros((Kp - K, R), jnp.float32))
+                dw = jnp.concatenate(dw_rows, axis=0)
+            else:
+                gk_s[:] = jnp.zeros_like(gk_s)
+
+                def attr_body(k, Wc):
+                    oh = ids_col == selt_ref[0, pl.ds(k, 1), :]
+                    gk_s[pl.ds(k, 1), :] = jnp.sum(
+                        jnp.where(oh, S, 0.0), axis=0, keepdims=True
+                    )
+                    return Wc + jnp.where(
+                        oh, wt_ref[0, pl.ds(k, 1), :], 0.0
+                    )
+                Wc = jax.lax.fori_loop(
+                    0, K, attr_body, jnp.zeros((C_, R), jnp.float32),
+                    unroll=False,
+                )
+                dw = gk_s[:]
+            og_ref[0, FEAT:FEAT + n_attr, :] = jax.lax.dot_general(
+                gimg, Wc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # (Ca, C)
         if fold:
             # transposed erf-compositing fold (math of fold_weights_pallas)
             w = wt_ref[0]
             s = jnp.sqrt(d + 1e-10)
             e = jnp.exp(-a)
-            G = gwt_ref[0] * w
+            gw = gwt_ref[0]
+            if n_attr:
+                gw = gw + dw   # the attr image's weight cotangent
+            G = gw * w
 
             def _sweep(lk, sk, ek, Bc):
                 diff = l - lk

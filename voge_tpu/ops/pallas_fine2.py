@@ -92,10 +92,11 @@ def _kernel_tc(
     gf_ref,     # (1, C, FEAT) f32 packed Gaussian feature table
     ids_ref,    # (1, C, 1) int32 global flattened ORIGINAL candidate ids
     rf_ref,     # (1, FEAT, R) f32 ray feature planes (G sub-bins' rays)
-    *refs,      # (1, Kp, R) outputs oi/ol/oa/od (+ow if agg_ow), then
+    *refs,      # (1, Kp, R) outputs oi/ol/oa/od (+ow if agg_ow)
+                # (+oimg (1, Ca, R) if n_attr), then
                 # (Kp, R) scratch run_len/run_act/run_dsd/run_idx
     thr_act: float, K: int, chunk: int, sub_bins: int,
-    agg_ow=None, hit_eval: str = "vpu",
+    agg_ow=None, hit_eval: str = "vpu", n_attr: int = 0,
 ):
     """Transposed layout: candidates on SUBLANES, rays on LANES.
 
@@ -116,7 +117,12 @@ def _kernel_tc(
     sublane-broadcast sweeps, fused here instead of a separate XLA pass
     over the HBM round-tripped selection.
     """
-    if agg_ow is None:
+    oimg_ref = None
+    if n_attr:
+        # fused attribute compositing rides the fused aggregation
+        (oi_ref, ol_ref, oa_ref, od_ref, ow_ref, oimg_ref,
+         run_len, run_act, run_dsd, run_idx) = refs
+    elif agg_ow is None:
         (oi_ref, ol_ref, oa_ref, od_ref,
          run_len, run_act, run_dsd, run_idx) = refs
         ow_ref = None
@@ -282,7 +288,40 @@ def _kernel_tc(
                 occ = jax.lax.fori_loop(
                     0, K, occ_body, jnp.zeros_like(l), unroll=False
                 )
-            ow_ref[0] = jnp.exp(-float(agg_ow) * occ) * ea * 1.6487212707001282
+            w = jnp.exp(-float(agg_ow) * occ) * ea * 1.6487212707001282
+            ow_ref[0] = w
+            if n_attr:
+                # Fused attribute compositing (``interpolate_attr``):
+                # img[ca, r] = sum_k w[k, r] * attr[sel_k(r), ca], computed
+                # as attr^T @ Wc with Wc[c, r] = sum_k [ids_c == sel_k] w_k
+                # — the per-candidate collapsed weight matrix
+                # (pallas_attr._match_weight) built against the LAST chunk,
+                # so this path requires a single-chunk candidate space
+                # (n_c == 1, asserted by the wrapper).  Invalid slots carry
+                # w = 0 (act = INF), so no gating is needed; padding
+                # candidates (id == -1) never match valid selections.
+                ids_col = ids_ref[0]                         # (C, 1)
+                attr_t = gf_ref[0][:, FEAT:FEAT + n_attr]    # (C, Ca)
+                if K <= _MAX_UNROLL_K:
+                    Wc = jnp.zeros((C, R), jnp.float32)
+                    for k in range(K):
+                        oh = ids_col == run_idx[k:k + 1, :]
+                        Wc = Wc + jnp.where(oh, w[k:k + 1, :], 0.0)
+                else:
+                    def wc_body(k, Wc):
+                        oh = ids_col == run_idx[pl.ds(k, 1), :]
+                        return Wc + jnp.where(
+                            oh, ow_ref[0, pl.ds(k, 1), :], 0.0
+                        )
+                    Wc = jax.lax.fori_loop(
+                        0, K, wc_body, jnp.zeros((C, R), jnp.float32),
+                        unroll=False,
+                    )
+                oimg_ref[0] = jax.lax.dot_general(
+                    attr_t, Wc, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
 
 def fine_select_compact_pallas(
@@ -305,15 +344,28 @@ def fine_select_compact_pallas(
                             # 5th output; None: selection only
     return_raw: bool = False,
     hit_eval: str = "vpu",  # "vpu" (exact f32 FMAs), "mxu6", "mxu1"
+    n_attr: int = 0,        # >0: table carries n_attr attribute columns
+                            # after the FEAT feature columns and the fused
+                            # attribute image (nb, n_attr, R_pad) is
+                            # returned as a 6th output (requires agg_ow and
+                            # a single-chunk candidate space)
 ) -> Tuple[jax.Array, ...]:
     """Streaming top-K selection over a (possibly per-supertile-compacted)
     candidate table; returns ray-major (nb, R_pad, K) selections (plus
-    fused aggregation weights when ``agg_ow`` is set).  With ``return_raw``
+    fused aggregation weights when ``agg_ow`` is set, plus the transposed
+    attribute image when ``n_attr``).  With ``return_raw``
     also returns the kernel-native (nb, Kp, R_pad) (len, act, dsd[, w])
     buffers for the transposed fold backward."""
     nb, _, R_pad = rays_t.shape
     C_total = table.shape[1]
+    featw = FEAT + int(n_attr)
+    assert table.shape[2] == featw, (table.shape, featw)
     assert R_pad % ray_chunk == 0 and C_total % cand_chunk == 0
+    if n_attr:
+        assert agg_ow is not None and C_total == cand_chunk, (
+            "fused attributes need fused aggregation and a single-chunk "
+            "candidate space"
+        )
     # _kernel_tc derives each ray's sub-bin from its lane index within the
     # current ray chunk; partial-tile chunks would misattribute membership
     assert sub_bins == 1 or ray_chunk == R_pad, (
@@ -336,7 +388,7 @@ def fine_select_compact_pallas(
         _kernel_tc, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
         sub_bins=int(sub_bins),
         agg_ow=None if agg_ow is None else float(agg_ow),
-        hit_eval=hit_eval,
+        hit_eval=hit_eval, n_attr=int(n_attr),
     )
     n_out = 4 if agg_ow is None else 5
     out_shapes = [jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.int32)] + [
@@ -346,18 +398,27 @@ def fine_select_compact_pallas(
         (1, Kp, ray_chunk), lambda b, r, c, cs, ct: (b, 0, r),
         memory_space=pltpu.VMEM,
     )
+    out_specs = [out_spec] * n_out
+    if n_attr:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nb, n_attr, R_pad), jnp.float32)
+        )
+        out_specs.append(pl.BlockSpec(
+            (1, n_attr, ray_chunk), lambda b, r, c, cs, ct: (b, 0, r),
+            memory_space=pltpu.VMEM,
+        ))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb, n_r, n_c),
         in_specs=[
             pl.BlockSpec((1, cand_chunk, 1), bmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cand_chunk, FEAT), cmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cand_chunk, featw), cmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cand_chunk, 1), cmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, FEAT, ray_chunk),
                          lambda b, r, c, cs, ct: (b, 0, r),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[out_spec] * n_out,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((Kp, ray_chunk), jnp.float32),
             pltpu.VMEM((Kp, ray_chunk), jnp.float32),
@@ -374,8 +435,13 @@ def fine_select_compact_pallas(
         ),
         interpret=interpret,
     )(csel, counts, bits, table, ids_c, rays_t)
+    img_t = None
+    if n_attr:
+        out, img_t = out[:-1], out[-1]
     # back to ray-major (nb, R_pad, K) for downstream consumers
     swapped = tuple(jnp.swapaxes(x, 1, 2)[:, :, :K] for x in out)
+    if n_attr:
+        swapped = swapped + (img_t,)
     if return_raw:
         # the kernel-native (nb, Kp, R_pad) buffers (idx, len, act, dsd
         # [, weight]), free aliases of the outputs above — consumed by the
