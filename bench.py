@@ -78,12 +78,14 @@ def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
     )
 
     def loss_fn(verts, sigmas, colors):
+        # attrs= : the attribute compositing is fused into the selection
+        # kernels (frag.attr_img == interpolate_attr(frag, colors))
         frag = render_pipeline(
             verts, sigmas, R, T, focal, principal,
             image_size=tuple(image_size), max_assign=max_assign,
-            cam_ctx=cam_ctx,
+            cam_ctx=cam_ctx, attrs=colors,
         )
-        img = interpolate_attr(frag, colors)
+        img = frag.attr_img
         sil = get_silhouette(frag)
         return jnp.mean((img - target) ** 2) + jnp.mean(sil ** 2)
 

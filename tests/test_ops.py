@@ -564,3 +564,40 @@ def test_emit_supertile_dst_mapping(case):
     gg_scatter = np.asarray(summed[: B * P_pad]).reshape(B, P_pad, FEAT)
     np.testing.assert_allclose(np.asarray(gg_gather), gg_scatter,
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("case", ["plain", "big"])
+def test_emit_kernel_matches_xla_emission(case):
+    """The fused Pallas emission kernel (ops/pallas_coarse.py, interpret
+    mode) produces byte-identical compacted candidate outputs to the XLA
+    emission formulation — windows, bits, keys, counts, overflow, and the
+    inverse dst mapping."""
+    rng = np.random.RandomState(77)
+    B = 1
+    H, W, P, thr, bin_size = 33, 47, 60, 0.01, 10
+    mus, isig = _scene(rng, P=P, seed_spread=0.8)
+    isig = isig * 100.0
+    if case == "big":
+        isig = isig.at[7].set(jnp.eye(3) * 5e-4)  # oversize/global member
+    R, T, focal, principal = _camera(B)
+    _, origins = camera_rays(R, T, focal, principal, (H, W))
+    mus_cam = mus[None] - origins[:, None, :]
+    isig_b = isig[None]
+    outs = {}
+    for force in ("xla", "kernel"):
+        outs[force] = jax.tree.map(
+            np.asarray,
+            coarse.emit_supertile_candidates(
+                R, T, focal, principal, mus_cam, isig_b, (H, W), thr,
+                bin_size, 64, return_dst=True, _force=force,
+            ),
+        )
+    names = ["pos_c", "bits_c", "ids_c", "counts_c", "overflow_c", "dst"]
+    for nm, a, b in zip(names, outs["xla"], outs["kernel"]):
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(a)[0]) if nm != "dst" else a[0],
+            np.asarray(jax.tree.leaves(b)[0]) if nm != "dst" else b[0],
+            err_msg=nm,
+        )
+    for i in range(4):  # dst tuple elementwise
+        np.testing.assert_array_equal(outs["xla"][5][i], outs["kernel"][5][i])

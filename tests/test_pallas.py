@@ -553,3 +553,150 @@ def test_bwd_compact_t_matches_ray_major(rng, K, fold):
         np.asarray(rb_new_rm[..., 0:3]), np.asarray(rb_old[..., 0:3]),
         rtol=5e-3, atol=5e-4,
     )
+
+
+@_pytest.mark.parametrize("K", [5, 40])
+@_pytest.mark.parametrize("cc", [128, 64])
+def test_fused_attr_kernels_match_lazy_chain(rng, K, cc):
+    """The fused attribute compositing (attr columns riding the candidate
+    table; ops/pallas_fine2._kernel_tc flush + ops/pallas_bwd._bwd_t_kernel
+    prologue, interpret mode) matches the lazy chain it replaces:
+
+      fwd:  img == sum_k w_k * attr[sel_k]   (pallas_attr math)
+      bwd:  feature grads == the un-fused transposed backward fed the
+            separately-computed total weight cotangent gw + d_w(attr);
+            d_attr == the direct entry-space sum.
+
+    Reference chain: Aggregation.py:111-141 composed with
+    ray_trace_voge.cu:283-360.  K=40 exercises the fori_loop paths."""
+    import math
+    import voge_tpu.ops.fine as F
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.rays import camera_rays
+    from voge_tpu.ops.coarse import overlap_mask
+    from voge_tpu.ops.pallas_bwd import fine_bwd_compact_t_pallas
+    from voge_tpu.ops.pallas_fine2 import (
+        compact_candidates, fine_select_compact_pallas, prefix_visit_lists,
+    )
+
+    B, H, W, P, Ca = 2, 20, 20, 60, 8
+    mus_w = rng.uniform(-1, 1, size=(P, 3)).astype(np.float32) * 0.8
+    a = rng.uniform(-1, 1, size=(P, 3, 3)).astype(np.float32)
+    isig = np.einsum("pij,pkj->pik", a, a) + 2 * np.eye(3, dtype=np.float32)
+    R_, T_ = look_at_view_transform(
+        dist=[4.0, 4.5], elev=[5.0, 20.0], azim=[10.0, 40.0]
+    )
+    focal = jnp.broadcast_to(jnp.asarray([[30.0, 30.0]]), (B, 2))
+    principal = jnp.broadcast_to(jnp.asarray([[10.0, 10.0]]), (B, 2))
+    rays, origins = camera_rays(R_, T_, focal, principal, (H, W))
+    mus = jnp.asarray(mus_w)[None] - origins[:, None, :]
+    isig_b = jnp.broadcast_to(jnp.asarray(isig)[None], (B, P, 3, 3))
+    bin_size = 10
+    mask = overlap_mask(
+        R_, T_, focal, principal, mus, isig_b, (H, W), 0.01, bin_size
+    )
+    thr_act = -math.log(0.01 + 1e-10)
+    _, BH, BW, _ = mask.shape
+    nb = B * BH * BW
+    P_pad = 128
+    M_max = 128  # single chunk: the fused attr path's requirement
+    ow = 0.9
+
+    gf = F._gauss_feature_planes_batched(mus, isig_b)
+    gf = jnp.pad(gf, ((0, 0), (0, 0), (0, P_pad - P)))
+    attr = rng.normal(size=(B, Ca, P_pad)).astype(np.float32)
+    attr[:, :, P:] = 0.0
+    attr = jnp.asarray(attr)
+    mf = jnp.pad(mask.reshape(nb, P).astype(jnp.int8),
+                 ((0, 0), (0, P_pad - P)))[:, None, :]
+    rays_feat, _R, R_pad = F._rays_features(rays, BH, BW, bin_size, bin_size)
+    ids_p = _identity_ids(B, P, P_pad)
+
+    table_c, bits_c, ids_c, pos_c, counts_c, _over = compact_candidates(
+        mf, gf, ids_p, M_max=M_max, bh_bw=BH * BW,
+    )
+    # attr columns gathered by the same pos_c (as _rt_fine_compact_impl's
+    # packed table gather does)
+    rows_a = jnp.swapaxes(attr, 1, 2).reshape(B * P_pad, Ca)
+    img_row = jnp.arange(nb, dtype=jnp.int32)[:, None] // (BH * BW)
+    attr_c = rows_a[(img_row * P_pad + pos_c).reshape(-1)].reshape(
+        nb, M_max, Ca)
+    table_ca = jnp.concatenate([table_c, attr_c], axis=2)
+
+    rays_t = jnp.swapaxes(rays_feat, 1, 2)
+    csel, cnts = prefix_visit_lists(counts_c, M_max, cc)
+    sel, raw = fine_select_compact_pallas(
+        rays_t, table_ca, bits_c, ids_c, csel, cnts, thr_act, K,
+        sub_bins=1, ray_chunk=R_pad, cand_chunk=cc, per_bin_cand=True,
+        interpret=True, agg_ow=ow, return_raw=True, n_attr=Ca,
+    )
+    assert len(sel) == 6
+    sel_idx, w_b, img_t = np.asarray(sel[0]), np.asarray(sel[4]), sel[5]
+
+    # ---- fwd reference: img[ca, r] = sum_k w_k * attr[sel_k, ca] --------
+    attr_flat = np.asarray(rows_a)                        # (B*P_pad, Ca)
+    gid = np.where(sel_idx >= 0, sel_idx, 0)
+    # global flattened id b*P + p -> row b*P_pad + p in attr_flat
+    arow = (gid // P) * P_pad + gid % P
+    picked = attr_flat[arow]                              # (nb, R, K, Ca)
+    wv = np.where(sel_idx >= 0, w_b, 0.0)
+    img_ref = np.einsum("nrk,nrkc->ncr", wv, picked)
+    np.testing.assert_allclose(
+        np.asarray(img_t), img_ref, rtol=1e-4, atol=1e-5
+    )
+
+    # ---- bwd: fused vs (un-fused + precomputed gw fold-in) --------------
+    Kp = raw[0].shape[1]
+
+    def t_pad(x, fill=0.0):
+        x = jnp.swapaxes(x, 1, 2)
+        if Kp > K:
+            x = jnp.pad(x, ((0, 0), (0, Kp - K), (0, 0)),
+                        constant_values=fill)
+        return x
+
+    gl = jnp.asarray(rng.normal(size=(nb, R_pad, K)).astype(np.float32))
+    ga = jnp.asarray(rng.normal(size=(nb, R_pad, K)).astype(np.float32))
+    gd = jnp.asarray(rng.normal(size=(nb, R_pad, K)).astype(np.float32))
+    gw = jnp.asarray(rng.normal(size=(nb, R_pad, K)).astype(np.float32))
+    g_img = jnp.asarray(rng.normal(size=(nb, Ca, R_pad)).astype(np.float32))
+
+    gg_f, rb_f = fine_bwd_compact_t_pallas(
+        rays_t, table_ca, ids_c, counts_c, raw, 
+        (t_pad(gl), t_pad(ga), t_pad(gd), t_pad(gw)),
+        K=K, cand_chunk=cc, dst=None, B=B, P_pad=P_pad,
+        agg_ow=ow, mode="both", interpret=True, pos_c=pos_c,
+        n_attr=Ca, g_img_t=g_img,
+    )
+    # d_w from the attr image, computed entry-space (invalid slots carry
+    # arbitrary values — the fold multiplies by w = 0 either way, but zero
+    # them to match what the fused kernel's id-match produces for them)
+    dw_ref = np.einsum("ncr,nrkc->nrk", np.asarray(g_img), picked)
+    gw_tot = gw + jnp.asarray(np.where(sel_idx >= 0, dw_ref, 0.0))
+    gg_u, rb_u = fine_bwd_compact_t_pallas(
+        rays_t, table_c, ids_c, counts_c, raw[:5],
+        (t_pad(gl), t_pad(ga), t_pad(gd), t_pad(gw_tot)),
+        K=K, cand_chunk=cc, dst=None, B=B, P_pad=P_pad,
+        agg_ow=ow, mode="both", interpret=True, pos_c=pos_c,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gg_f[:, :16]), np.asarray(gg_u), rtol=2e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(rb_f), np.asarray(rb_u), rtol=2e-3, atol=1e-4
+    )
+    # ---- d_attr reference: direct entry-space sum -----------------------
+    d_attr_ref = np.zeros((B, Ca, P_pad), np.float32)
+    gimg_np = np.asarray(g_img)
+    for b in range(nb):
+        bi = b // (BH * BW)
+        for r in range(R_pad):
+            for k in range(K):
+                gidv = sel_idx[b, r, k]
+                if gidv < 0:
+                    continue
+                p = gidv % P
+                d_attr_ref[bi, :, p] += wv[b, r, k] * gimg_np[b, :, r]
+    np.testing.assert_allclose(
+        np.asarray(gg_f[:, 16:16 + Ca]), d_attr_ref, rtol=2e-3, atol=1e-4
+    )

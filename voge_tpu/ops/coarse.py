@@ -197,23 +197,24 @@ def emit_supertile_candidates(
     R: jax.Array, T: jax.Array, focal: jax.Array, principal: jax.Array,
     points: jax.Array, isigmas: jax.Array, image_size: Tuple[int, int],
     thr: float, bin_size: int, M_max: int, n_globals: int = 64,
-    return_dst: bool = False,
+    return_dst: bool = False, _force: Optional[str] = None,
 ):
     """Per-supertile compacted candidate lists via duplicate-key emission.
 
     The TPU-native analog of the CUDA coarse binner's per-Gaussian bbox walk
     (``rasterize_coarse.cu:111-185``): instead of materializing the dense
     (bins, P) overlap mask and argsort-compacting it (O(bins*P) work — the
-    round-1 design), every Gaussian *emits* up to 4 (supertile, index, bits)
-    keys for the 2x2 supertile window covering its pixel-space bbox; one
-    flat sort of the ~4P keys groups them by supertile, and fixed-capacity
-    rows are sliced out of the sorted stream.  (A 2x2 window suffices
-    because the lowest overlapped BIN starts at ``lo - b`` — the overlap
-    test is ``lo <= bin_start + b`` — so supertiles
-    [floor((lo-b)/2b), floor(hi/2b)] cover every overlap; the span exceeds
-    2 only when the pixel radius approaches a full supertile, which routes
-    to the global path.  Round-4 change: the previous conservative 3x3
-    window made the emission sort the largest single coarse cost.)  The per-2x2-sub-bin
+    round-1 design), every Gaussian *emits* up to win^2 (supertile, index,
+    bits) keys for the win x win supertile window covering its pixel-space
+    bbox; one flat sort of the ~win^2*P keys groups them by supertile, and
+    fixed-capacity rows are sliced out of the sorted stream.  The window
+    covers exactly — the lowest overlapped BIN starts above ``lo - b``
+    (overlap test ``lo <= bin_start + b``), so supertiles
+    [floor((lo-b)/2b), floor(hi/2b)] hold every overlap; ``win`` is a
+    static function of scene size (2 for dense scenes whose footprints
+    stay under a supertile, 3 for sparse large-kernel scenes — see the
+    ``win`` comment in the body).  Footprints beyond the window route to
+    the global path.  The per-2x2-sub-bin
     membership bits are computed AT EMISSION (the same float comparisons
     ``overlap_mask`` uses) and ride in the key's low 4 bits — the sliced
     rows decode position and bits arithmetically, with no per-element
@@ -245,7 +246,7 @@ def emit_supertile_candidates(
 
     With ``return_dst`` a sixth element carries the INVERSE mapping —
     per-emission destination slots in the compacted rows:
-        (dst_l (B, P, 4) int32 = row * M_max + rank, -1 when not emitted /
+        (dst_l (B, P, win^2) int32 = row * M_max + rank, -1 when not emitted /
          truncated;  dst_g (B, n_globals, nst) likewise for the global
          members;  gpos (B, n_globals) their Gaussian indices;
          g_valid (B, n_globals) bool).
@@ -269,15 +270,53 @@ def emit_supertile_candidates(
 
     points = jax.lax.stop_gradient(points)
     isigmas = jax.lax.stop_gradient(isigmas)
-    u, v, z = _camera_planes(R, T, focal, principal, points)
-    rx, ry = _pixel_radii_planes(R, focal, isigmas, thr, z)
-    keep = ~(z < 0)
 
-    # tight integer supertile window [f0, f0 + 2) per axis: the lowest
+    # key = ((img*nst + supertile) * S + index) * 16 + bits; invalid -> big.
+    # Sorting groups by supertile with ascending index (bits are a no-op
+    # tie-break: each (supertile, index) pair occurs at most once).
+    S = 1 << max(int(P - 1).bit_length(), 1)                  # per-image idx range
+    big = nb * S * 16                                         # > any valid key
+    kdt = jnp.int32 if big < 2**31 - 1 else jnp.int64
+
+    kv_kern = None
+    win_k = 3 if P <= 4096 else 2  # see ``win`` below
+    use_kernel = (
+        jax.default_backend() == "tpu" if _force is None
+        else _force == "kernel"
+    )
+    if use_kernel and kdt == jnp.int32:
+        # fused Pallas emission: the ~80-op elementwise window/bits chain
+        # in one kernel (voge_tpu/ops/pallas_coarse.py); the oversize
+        # (global) path below stays in XLA on the returned planes
+        from voge_tpu.ops.pallas_coarse import emit_keys_pallas
+
+        kv_kern, u, v, rx, ry, oversize = emit_keys_pallas(
+            R, T, focal, principal, points, isigmas, thr, b, (H, W),
+            nst, BH2, BW2, S, win=win_k,
+            interpret=jax.default_backend() != "tpu",
+        )
+        keep = jnp.ones_like(oversize)  # oversize already gated by keep
+    else:
+        u, v, z = _camera_planes(R, T, focal, principal, points)
+        rx, ry = _pixel_radii_planes(R, focal, isigmas, thr, z)
+        keep = ~(z < 0)
+
+    # tight integer supertile window [f0, f0 + win) per axis: the lowest
     # overlapped bin satisfies bin_start > (c - r) - b (overlap test
     # ``lo <= bin_start + b``), so f0 = floor((c - r - b)/st) covers it;
     # the highest overlapped bin has bin_start < (c + r), so
-    # f1 = floor((c + r)/st) covers it.  span > 2 supertiles -> global.
+    # f1 = floor((c + r)/st) covers it.  span > win supertiles -> global.
+    #
+    # ``win`` is a STATIC function of the scene size: dense scenes carry
+    # small per-Gaussian footprints (a 2x2 window covers radii up to a
+    # supertile and halves the sort/inverse-mapping cost vs 3x3 — the
+    # round-4 change that cut the 10K step ~0.8 ms), while sparse scenes
+    # (the quickstart-style few-hundred-Gaussian configs) have footprints
+    # of several supertiles and need the 3x3 window (their 9P sort is tiny
+    # anyway).  Footprints beyond the window go to the exact-but-capped
+    # global path with the dropped count surfaced via overflow_points.
+    win = win_k
+
     def _window(c, r):
         lo = (c - r - fb) / st
         hi = (c + r) / st
@@ -288,9 +327,10 @@ def emit_supertile_candidates(
         w = jnp.clip(f1, -2.0**30, 2.0**30).astype(jnp.int32) - f0 + 1
         return f0, w, fin
 
-    fx0, wx, finx = _window(u, rx)
-    fy0, wy, finy = _window(v, ry)
-    oversize = keep & ((~finx) | (~finy) | (wx > 2) | (wy > 2))
+    if kv_kern is None:
+        fx0, wx, finx = _window(u, rx)
+        fy0, wy, finy = _window(v, ry)
+        oversize = keep & ((~finx) | (~finy) | (wx > win) | (wy > win))
 
     def _bits(uu, vv, rxx, ryy, sxf, syf):
         """Exact 2x2 sub-bin membership bits for supertile pixel origin
@@ -309,20 +349,21 @@ def emit_supertile_candidates(
                 bits = t if bits is None else bits | t
         return bits
 
-    EMIT = 4
-    dx = jnp.arange(EMIT, dtype=jnp.int32) % 2                # (4,)
-    dy = jnp.arange(EMIT, dtype=jnp.int32) // 2
-    sx = fx0[..., None] + dx                                  # (B, P, 4)
-    sy = fy0[..., None] + dy
-    sxf = sx.astype(points.dtype) * st
-    syf = sy.astype(points.dtype) * st
-    bits_l = _bits(u[..., None], v[..., None], rx[..., None], ry[..., None],
-                   sxf, syf)                                  # (B, P, 4)
-    valid = (
-        keep[..., None] & (~oversize)[..., None]
-        & (sx >= 0) & (sx < BW2) & (sy >= 0) & (sy < BH2)
-        & (bits_l != 0)
-    )
+    EMIT = win * win
+    if kv_kern is None:
+        dx = jnp.arange(EMIT, dtype=jnp.int32) % win          # (EMIT,)
+        dy = jnp.arange(EMIT, dtype=jnp.int32) // win
+        sx = fx0[..., None] + dx                              # (B, P, 4)
+        sy = fy0[..., None] + dy
+        sxf = sx.astype(points.dtype) * st
+        syf = sy.astype(points.dtype) * st
+        bits_l = _bits(u[..., None], v[..., None], rx[..., None],
+                       ry[..., None], sxf, syf)               # (B, P, 4)
+        valid = (
+            keep[..., None] & (~oversize)[..., None]
+            & (sx >= 0) & (sx < BW2) & (sy >= 0) & (sy < BH2)
+            & (bits_l != 0)
+        )
 
     # Global (oversize) members: first n_globals ascending-index; each emits
     # one key per supertile it actually overlaps (exact bits gate).
@@ -344,17 +385,14 @@ def emit_supertile_candidates(
     g_full = is_g.sum(axis=1).astype(jnp.int32)                # (B,)
     g_over = jnp.maximum(g_full - n_globals, 0)
 
-    # key = ((img*nst + supertile) * S + index) * 16 + bits; invalid -> big.
-    # Sorting groups by supertile with ascending index (bits are a no-op
-    # tie-break: each (supertile, index) pair occurs at most once).
-    S = 1 << max(int(P - 1).bit_length(), 1)                  # per-image idx range
-    big = nb * S * 16                                         # > any valid key
-    kdt = jnp.int32 if big < 2**31 - 1 else jnp.int64
     img = jnp.arange(B, dtype=kdt)[:, None, None]
-    s_gid = img * nst + (sy * BW2 + sx).astype(kdt)
-    idx = jnp.arange(P, dtype=kdt)[None, :, None]
-    kv = jnp.where(valid, (s_gid * S + idx) * 16 + bits_l.astype(kdt),
-                   jnp.array(big, kdt))
+    if kv_kern is not None:
+        kv = kv_kern
+    else:
+        s_gid = img * nst + (sy * BW2 + sx).astype(kdt)
+        idx = jnp.arange(P, dtype=kdt)[None, :, None]
+        kv = jnp.where(valid, (s_gid * S + idx) * 16 + bits_l.astype(kdt),
+                       jnp.array(big, kdt))
     s_gid_g = img * nst + jnp.arange(nst, dtype=kdt)[None, None, :]
     kv_g = jnp.where(
         valid_g,

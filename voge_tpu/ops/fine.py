@@ -60,18 +60,20 @@ _SENTINEL_ACT = 1e10
 # budget); beyond this the XLA fallback runs.
 _PALLAS_MAX_M = 16384
 
-# Largest K the K-unrolled Pallas kernels (select extraction passes, the
-# backward/attr coefficient match loops) take on.  Mosaic keeps the per-K
-# (ray_chunk, cand_chunk) one-hot temporaries live across the unrolled
-# loop, so VMEM grows ~linearly with K: K=80 (the reference's largest real
-# workload, ExtractTexture) compiles; K=102 (EfficientCuboid's
-# max_assign=all) blows the 100 MB scoped budget.  Beyond this the dense
-# XLA formulation runs (SURVEY §7 "large-K cases should fall back to dense
-# top_k") — at select-everything K the top-K machinery buys nothing anyway.
+# Largest K the Pallas kernels (select extraction passes, the
+# backward/attr coefficient match loops) take on.  The original K=80
+# ceiling was a VMEM artifact of the UNROLLED loops (Mosaic kept the per-K
+# one-hot temporaries live; K=102 blew the 100 MB scoped budget) — the
+# round-3 ``lax.fori_loop`` rework (ops/pallas_fine.py ``_MAX_UNROLL_K``)
+# made the loop state K-independent, so the ceiling now only bounds the
+# (Kp, ray_chunk) running-state scratch; 128 covers EfficientCuboid's
+# ``max_assign = all kernels`` (K=102, ray_trace_voge.cu:197-213 handles
+# any K) with margin.  Beyond this the dense XLA formulation runs
+# (SURVEY §7 "large-K cases should fall back to dense top_k") — at
+# select-everything K >> P the top-K machinery buys nothing anyway.
 # ``VOGE_TPU_MAX_KERN_K`` overrides the boundary (read at trace time, so a
-# test or user can change it without re-importing); raising it past ~80
-# risks the exact VMEM abort the default exists to prevent.
-_DEFAULT_MAX_KERN_K = 80
+# test or user can change it without re-importing).
+_DEFAULT_MAX_KERN_K = 128
 
 
 def _max_kern_k() -> int:
@@ -944,13 +946,20 @@ _rt_fine_kern.defvjp(_rt_fine_kern_fwd, _rt_fine_kern_bwd)
 
 def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
                           counts_c, thr_act, bin_size, K, agg_ow=None,
-                          return_raw=False, rf_c=None):
+                          return_raw=False, rf_c=None, attr_planes=None):
     """Primal for the pre-compacted fine selection: gather the candidate
     feature table by ``pos_c`` and run the streaming select kernel.  Returns
     (sel4 kernel-layout, residual tensors).  ``rf_c``, when given, is the
     precomputed (nb, R_pad, FEAT) kernel-layout ray-feature planes (they
     are camera-static; building them costs ~1 ms per step at 256² and XLA
-    cannot hoist it out of a fitting loop's jitted step)."""
+    cannot hoist it out of a fitting loop's jitted step).
+
+    ``attr_planes`` (B, Ca, P_pad): attribute planes in candidate order —
+    the attribute columns ride the packed table gather and the attribute
+    image comes out of the select kernel as a 6th element (nb, Ca, R_pad),
+    replacing the separate ``interpolate_attr`` kernel chain (its gather of
+    the same rows, its own id-match pass, and one of the two backward
+    scatter-backs)."""
     from voge_tpu.ops.pallas_fine2 import (
         fine_select_compact_pallas,
         prefix_visit_lists,
@@ -959,6 +968,7 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
     B, P = mus.shape[0], mus.shape[1]
     nb, M_max = pos_c.shape
     nst = nb // B
+    n_attr = 0 if attr_planes is None else int(attr_planes.shape[1])
     cc = _pick_cand_chunk(P)
     cc_align = max(cc, _pick_cand_chunk_bwd(P))
     P_pad = _ceil_to(max(P, cc_align), cc_align)
@@ -966,10 +976,14 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
     gauss_feat = _gauss_feature_planes_batched(mus, isigmas)
     if P_pad > P:
         gauss_feat = jnp.pad(gauss_feat, ((0, 0), (0, 0), (0, P_pad - P)))
-    table = jnp.swapaxes(gauss_feat, 1, 2).reshape(B * P_pad, FEAT)
+    if n_attr:
+        assert attr_planes.shape[2] == P_pad, (attr_planes.shape, P_pad)
+        gauss_feat = jnp.concatenate([gauss_feat, attr_planes], axis=1)
+    featw = FEAT + n_attr
+    table = jnp.swapaxes(gauss_feat, 1, 2).reshape(B * P_pad, featw)
     img_row = jnp.arange(nb, dtype=jnp.int32)[:, None] // nst
     table_c = table[(img_row * P_pad + pos_c).reshape(-1)].reshape(
-        nb, M_max, FEAT
+        nb, M_max, featw
     )
 
     if rf_c is None:
@@ -987,6 +1001,7 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
         rays_t, table_c, bits_c, ids_c, csel, cnts, thr_act, K,
         sub_bins=4, ray_chunk=rf_k.shape[1], cand_chunk=cc,
         per_bin_cand=True, agg_ow=agg_ow, return_raw=return_raw,
+        n_attr=n_attr,
     )
     if return_raw:
         sel, raw = sel
@@ -994,9 +1009,9 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
     return sel, (rf_k, table_c)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
+@partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16, 17))
 def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
-                    dst_l, dst_g, gpos, g_valid, rf_c,
+                    dst_l, dst_g, gpos, g_valid, rf_c, attr_p,
                     thr_act, bin_size, K, agg_ow=None, cam_grad=True):
     """Fine selection over emission-compacted candidates (KERNEL layout).
 
@@ -1013,19 +1028,25 @@ def _rt_fine_kern_c(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
     fitting loop over fixed cameras): the backward runs the single-output
     "gauss" kernel and returns zero ray gradients — the per-ray row
     reductions and their output traffic are skipped entirely (one fused
-    pallas_call cannot be dead-code-eliminated by XLA)."""
+    pallas_call cannot be dead-code-eliminated by XLA).
+
+    ``attr_p`` ((B, Ca, P_pad) or None): attribute planes for the FUSED
+    attribute compositing — the columns ride the table gather, the image
+    (nb, Ca, R_pad, transposed) is returned as a 6th selection element,
+    and the backward computes d_attr inside the unified kernel (reference
+    chain ``Aggregation.py:111-141`` fused with ``ray_trace_voge.cu``)."""
     return _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K, agg_ow, rf_c=rf_c,
+        bin_size, K, agg_ow, rf_c=rf_c, attr_planes=attr_p,
     )[0]
 
 
 def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
-                        dst_l, dst_g, gpos, g_valid, rf_c,
+                        dst_l, dst_g, gpos, g_valid, rf_c, attr_p,
                         thr_act, bin_size, K, agg_ow=None, cam_grad=True):
     out = _rt_fine_compact_impl(
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
-        bin_size, K, agg_ow, return_raw=True, rf_c=rf_c,
+        bin_size, K, agg_ow, return_raw=True, rf_c=rf_c, attr_planes=attr_p,
     )
     sel, saved, raw = out
     rf_k, table_c = saved
@@ -1038,7 +1059,7 @@ def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
     # lane waste plus cross-lane reduction tails; tools/kernel_bench3.py.)
     rays_t = jnp.swapaxes(rf_k, 1, 2)
     res = (mus, isigmas, rays.shape, pos_c, bits_c, ids_c, counts_c,
-           dst_l, dst_g, gpos, g_valid, rf_c, rays_t, table_c, raw)
+           dst_l, dst_g, gpos, g_valid, rf_c, attr_p, rays_t, table_c, raw)
     return sel, res
 
 
@@ -1046,8 +1067,10 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
     from voge_tpu.ops.pallas_bwd import fine_bwd_compact_t_pallas
 
     (mus, isigmas, rays_shape, pos_c, bits_c, ids_c, counts_c,
-     dst_l, dst_g, gpos_g, g_valid, rf_c, rays_t, table_c, raw) = res
+     dst_l, dst_g, gpos_g, g_valid, rf_c, attr_p, rays_t, table_c,
+     raw) = res
     Kp = raw[0].shape[1]
+    n_attr = 0 if attr_p is None else int(attr_p.shape[1])
 
     def t_pad(x):
         x = jnp.swapaxes(x, 1, 2)
@@ -1055,7 +1078,11 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
             x = jnp.pad(x, ((0, 0), (0, Kp - K), (0, 0)))
         return x
 
-    if agg_ow is not None:
+    g_img_t = None
+    if n_attr:
+        _, g_len_k, g_act_k, g_dsd_k, g_w_k, g_img_t = g
+        g_t = (t_pad(g_len_k), t_pad(g_act_k), t_pad(g_dsd_k), t_pad(g_w_k))
+    elif agg_ow is not None:
         _, g_len_k, g_act_k, g_dsd_k, g_w_k = g
         g_t = (t_pad(g_len_k), t_pad(g_act_k), t_pad(g_dsd_k), t_pad(g_w_k))
     else:
@@ -1077,6 +1104,7 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
         dst=(dst_l, dst_g, gpos_g, g_valid), B=B, P_pad=P_pad,
         agg_ow=0.0 if agg_ow is None else float(agg_ow),
         mode="both" if cam_grad else "gauss",
+        n_attr=n_attr, g_img_t=g_img_t,
     )
     grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
     grad_isg = jnp.stack(
@@ -1091,9 +1119,10 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
     # rf_c is documented camera-static (a cache of f(rays)); its cotangent
     # is zero — camera gradients flow through the ``rays`` argument
     g_rf_c = None if rf_c is None else jnp.zeros_like(rf_c)
+    g_attr = None if attr_p is None else gg[:, FEAT:FEAT + n_attr, :]
     return (grad_mus, grad_isg, grad_rays,
             f0(pos_c), f0(bits_c), f0(ids_c), f0(counts_c),
-            f0(dst_l), f0(dst_g), f0(gpos_g), f0(g_valid), g_rf_c)
+            f0(dst_l), f0(dst_g), f0(gpos_g), f0(g_valid), g_rf_c, g_attr)
 
 
 _rt_fine_kern_c.defvjp(_rt_fine_kern_c_fwd, _rt_fine_kern_c_bwd)
@@ -1168,6 +1197,7 @@ def ray_tracing(
     rf_cache=None,
     camera_grad: bool = True,
     return_overflow: bool = False,
+    attrs=None,
     **kwargs,
 ):
     """Coarse + fine dispatcher (reference ``RayTracing.py:12-30``).
@@ -1300,12 +1330,28 @@ def ray_tracing(
                 H, W, bin_size_cfg
             ):
                 rf_c = rf_cache.get("rf_k")
+            # fused attribute compositing: planes ride the table gather and
+            # the image comes out of the select kernel (single-chunk rows
+            # only; callers fall back to the lazy interpolate_attr chain
+            # when attr_p stays None)
+            attr_p = None
+            if attrs is not None and agg_ow is not None and return_ctx:
+                d_attr = int(attrs.shape[-1])
+                Ca = -(-d_attr // 8) * 8
+                a = attrs.astype(jnp.float32).reshape(B, P, d_attr)
+                attr_p = jnp.swapaxes(a, 1, 2)
+                attr_p = jnp.pad(
+                    attr_p, ((0, 0), (0, Ca - d_attr), (0, P_pad - P))
+                )
             sel_k = _rt_fine_kern_c(
                 points, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
-                dst[0], dst[1], dst[2], dst[3], rf_c,
+                dst[0], dst[1], dst[2], dst[3], rf_c, attr_p,
                 float(thr_act), (bin_size_cfg, bin_size_cfg), int(n_assign),
                 agg_ow, bool(camera_grad),
             )
+            img_t = None
+            if attr_p is not None:
+                sel_k, img_t = sel_k[:-1], sel_k[-1]
             if not return_ctx:
                 sel = tuple(
                     unbin_kern(x, B, BH, BW, H, W, bin_size_cfg,
@@ -1321,6 +1367,8 @@ def ray_tracing(
                 geom=(B, H, W, BH, BW, bin_size_cfg, bin_size_cfg, True,
                       bh_bw, pos_c.shape[1], P, P_pad, "c"),
             )
+            if img_t is not None:
+                ctx["img_t"] = img_t  # (nb, Ca, R_pad) fused attr image
             return sel_k, ctx
 
         # Bin-coherent candidate ordering: sort Gaussians by the Morton code

@@ -598,10 +598,10 @@ def _bwd_t_kernel(
     if fold:
         wt_ref, gwt_ref = refs[:2]
         refs = refs[2:]
-    gimg_ref = None
+    gimg_ref = dw_s = None
     if n_attr:
         gimg_ref = refs[0]
-        refs = refs[1:]
+        refs, dw_s = refs[1:-1], refs[-1]
     if want_rays:
         og_ref, ort_ref, gk_s, gm_s, ga_s, racc = refs
     else:
@@ -610,10 +610,53 @@ def _bwd_t_kernel(
     b = pl.program_id(0)
     c = pl.program_id(1)
     n_c = pl.num_programs(1)
+    if n_attr:
+        # the chunk axis is doubled: a d_w phase streaming every occupied
+        # chunk (the fold below needs the COMPLETE attr weight-cotangent
+        # before the chain rule runs), then the gradient phase re-streaming
+        # them
+        n_c = n_c // 2
     Kp = gk_s.shape[0]
     R = gk_s.shape[1]
+    ph1 = n_c if n_attr else 0  # first gradient-phase step
 
-    @pl.when(c == 0)
+    if n_attr:
+        # ---- phase 0: accumulate d_w from the fused attr image cotangent
+        # (the ``interpolate_attr`` VJP's weight side,
+        # pallas_attr._bwd_unified_kernel math):
+        #   S[c, r]   = sum_ca attr[c, ca] * g_img[ca, r]
+        #   d_w[k, r] = S[sel_k(r), r]
+        @pl.when(c == 0)
+        def _():
+            dw_s[:] = jnp.zeros_like(dw_s)
+
+        @pl.when(c < cnt_ref[b])
+        def _():
+            ids_col = ids_ref[0]                         # (C, 1)
+            attr_p = gp_ref[0][FEAT:FEAT + n_attr]       # (Ca, C)
+            S = jax.lax.dot_general(
+                attr_p, gimg_ref[0], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                            # (C, R)
+            if K <= _MAX_UNROLL_K:
+                rows = [jnp.sum(
+                    jnp.where(ids_col == selt_ref[0, k:k + 1, :], S, 0.0),
+                    axis=0, keepdims=True,
+                ) for k in range(K)]
+                if Kp > K:
+                    rows.append(jnp.zeros((Kp - K, R), jnp.float32))
+                dw_s[:] = dw_s[:] + jnp.concatenate(rows, axis=0)
+            else:
+                def dw_body(k, _):
+                    oh = ids_col == selt_ref[0, pl.ds(k, 1), :]
+                    dw_s[pl.ds(k, 1), :] = dw_s[pl.ds(k, 1), :] + jnp.sum(
+                        jnp.where(oh, S, 0.0), axis=0, keepdims=True
+                    )
+                    return 0
+                jax.lax.fori_loop(0, K, dw_body, 0, unroll=False)
+
+    @pl.when(c == ph1)
     def _():
         og_ref[0] = jnp.zeros_like(og_ref[0])
         if want_rays:
@@ -625,58 +668,7 @@ def _bwd_t_kernel(
         ga = gat_ref[0]
         gd = gdt_ref[0]
         if n_attr:
-            # Fused attribute backward (the ``interpolate_attr`` VJP,
-            # pallas_attr._bwd_unified_kernel math) on the single-chunk
-            # candidate space: both sides reuse the slot-to-candidate
-            # one-hot; d_w folds straight into the weight cotangent below
-            # and d_attr rows ride the og output block (rows FEAT..).
-            #   S[c, r]   = sum_ca attr[c, ca] * g_img[ca, r]
-            #   d_w[k, r] = S[sel_k(r), r]
-            #   d_attr[ca, c] = sum_r W[c, r] * g_img[ca, r],
-            #   W[c, r]   = sum_k [ids_c == sel_k] w[k, r]
-            ids_col = ids_ref[0]                         # (C, 1)
-            attr_p = gp_ref[0][FEAT:FEAT + n_attr]       # (Ca, C)
-            gimg = gimg_ref[0]                           # (Ca, R)
-            S = jax.lax.dot_general(
-                attr_p, gimg, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                            # (C, R)
-            w_all = wt_ref[0]                            # (Kp, R)
-            C_ = ids_col.shape[0]
-            if K <= _MAX_UNROLL_K:
-                Wc = jnp.zeros((C_, R), jnp.float32)
-                dw_rows = []
-                for k in range(K):
-                    oh = ids_col == selt_ref[0, k:k + 1, :]
-                    Wc = Wc + jnp.where(oh, w_all[k:k + 1, :], 0.0)
-                    dw_rows.append(jnp.sum(
-                        jnp.where(oh, S, 0.0), axis=0, keepdims=True
-                    ))
-                if Kp > K:
-                    dw_rows.append(jnp.zeros((Kp - K, R), jnp.float32))
-                dw = jnp.concatenate(dw_rows, axis=0)
-            else:
-                gk_s[:] = jnp.zeros_like(gk_s)
-
-                def attr_body(k, Wc):
-                    oh = ids_col == selt_ref[0, pl.ds(k, 1), :]
-                    gk_s[pl.ds(k, 1), :] = jnp.sum(
-                        jnp.where(oh, S, 0.0), axis=0, keepdims=True
-                    )
-                    return Wc + jnp.where(
-                        oh, wt_ref[0, pl.ds(k, 1), :], 0.0
-                    )
-                Wc = jax.lax.fori_loop(
-                    0, K, attr_body, jnp.zeros((C_, R), jnp.float32),
-                    unroll=False,
-                )
-                dw = gk_s[:]
-            og_ref[0, FEAT:FEAT + n_attr, :] = jax.lax.dot_general(
-                gimg, Wc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                            # (Ca, C)
+            dw = dw_s[:]
         if fold:
             # transposed erf-compositing fold (math of fold_weights_pallas)
             w = wt_ref[0]
@@ -752,35 +744,52 @@ def _bwd_t_kernel(
         gm_s[:] = (gl - 2.0 * ga * msk) / ksk
         ga_s[:] = ga
 
-    @pl.when(c < cnt_ref[b])
+    @pl.when((c >= ph1) & (c - ph1 < cnt_ref[b]))
     def _():
         ids = ids_ref[0]                                    # (C, 1)
         C = ids.shape[0]
         rft = rft_ref[0]                                    # (FEAT, R)
         gp = gp_ref[0]                                      # (FEAT, C)
 
-        def acc_k(k_sel, k_gk, k_gm, k_ga, carry):
-            OHg, OHm, OHa = carry
+        def acc_k(k_sel, k_gk, k_gm, k_ga, k_w, carry):
+            OHg, OHm, OHa, Wc = carry
             oh = jnp.where(ids == k_sel, 1.0, 0.0)          # (C, R)
-            return (OHg + oh * k_gk, OHm + oh * k_gm, OHa + oh * k_ga)
+            Wc = None if Wc is None else Wc + oh * k_w
+            return (OHg + oh * k_gk, OHm + oh * k_gm, OHa + oh * k_ga, Wc)
 
         zero = jnp.zeros((C, R), jnp.float32)
+        Wc0 = zero if n_attr else None
         if K <= _MAX_UNROLL_K:
-            OHg, OHm, OHa = zero, zero, zero
+            OHg, OHm, OHa, Wc = zero, zero, zero, Wc0
             for k in range(K):
-                OHg, OHm, OHa = acc_k(
+                OHg, OHm, OHa, Wc = acc_k(
                     selt_ref[0, k:k + 1, :], gk_s[k:k + 1, :],
-                    gm_s[k:k + 1, :], ga_s[k:k + 1, :], (OHg, OHm, OHa),
+                    gm_s[k:k + 1, :], ga_s[k:k + 1, :],
+                    wt_ref[0, k:k + 1, :] if n_attr else None,
+                    (OHg, OHm, OHa, Wc),
                 )
-        else:
+        elif n_attr:
             def body(k, carry):
                 return acc_k(
                     selt_ref[0, pl.ds(k, 1), :], gk_s[pl.ds(k, 1), :],
-                    gm_s[pl.ds(k, 1), :], ga_s[pl.ds(k, 1), :], carry,
+                    gm_s[pl.ds(k, 1), :], ga_s[pl.ds(k, 1), :],
+                    wt_ref[0, pl.ds(k, 1), :], carry,
                 )
+            OHg, OHm, OHa, Wc = jax.lax.fori_loop(
+                0, K, body, (zero, zero, zero, zero), unroll=False
+            )
+        else:
+            def body(k, carry):
+                out = acc_k(
+                    selt_ref[0, pl.ds(k, 1), :], gk_s[pl.ds(k, 1), :],
+                    gm_s[pl.ds(k, 1), :], ga_s[pl.ds(k, 1), :], None,
+                    carry + (None,),
+                )
+                return out[:3]
             OHg, OHm, OHa = jax.lax.fori_loop(
                 0, K, body, (zero, zero, zero), unroll=False
             )
+            Wc = None
 
         # gauss side: (q, C) = dot over R of (q, R) ray rows with (C, R) OH
         # matrices — contraction dims (1, 1), no in-kernel transposes
@@ -813,10 +822,19 @@ def _bwd_t_kernel(
             for i in range(3) for j in range(3)
         ]
         zrow = jnp.zeros_like(T0)
-        contrib = jnp.concatenate(
-            g_mu + g_L + [zrow] * (og_ref.shape[1] - 12), axis=0
-        )                                                    # (FEAT, C)
-        off = csel_ref[b, c] * chunk
+        rows = g_mu + g_L + [zrow] * (FEAT - 12)
+        if n_attr:
+            # d_attr[ca, c] = sum_r W[c, r] * g_img[ca, r] — the attr rows
+            # of the gradient block (the match above already built W)
+            rows.append(jax.lax.dot_general(
+                gimg_ref[0], Wc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ))                                               # (Ca, C)
+        else:
+            rows += [zrow] * (og_ref.shape[1] - FEAT)
+        contrib = jnp.concatenate(rows, axis=0)              # (featw, C)
+        off = csel_ref[b, c % n_c] * chunk
         og_ref[0, :, pl.ds(off, chunk)] = (
             og_ref[0, :, pl.ds(off, chunk)] + contrib
         )
@@ -845,7 +863,7 @@ def _bwd_t_kernel(
             )
 
     if want_rays:
-        @pl.when(c == n_c - 1)
+        @pl.when(c == pl.num_programs(1) - 1)
         def _():
             ort_ref[0] = racc[:]
 
@@ -860,7 +878,7 @@ def fine_bwd_compact_t_pallas(
     K: int, cand_chunk: int,
     dst, B: int, P_pad: int,
     agg_ow: float = 1.0, mode: str = "both", interpret: bool = False,
-    pos_c=None,
+    pos_c=None, n_attr: int = 0, g_img_t=None,
 ):
     """Transposed unified backward over the compacted candidate space.
 
@@ -872,19 +890,31 @@ def fine_bwd_compact_t_pallas(
         ``None`` with ``pos_c`` set to fall back to the deterministic
         ``segment_sum`` scatter (same contract as
         :func:`fine_bwd_compact_pallas`).
-    :return: (gauss_grads (B, FEAT, P_pad): rows 0..2 grad_mu, 3..11
-        grad_Lambda;  ray_grads_t (nb, FEAT, R_pad) or None): same
+    :param n_attr: >0 — ``table_c`` carries ``n_attr`` attribute columns
+        after the FEAT feature columns and ``g_img_t`` (nb, Ca, R_pad) is
+        the fused attribute image's cotangent: the attr VJP (d_attr rows +
+        the d_w weight-cotangent fold) runs inside the kernel and the
+        gauss-grads output grows to FEAT + n_attr rows (rows FEAT.. =
+        d_attr).  Requires fold (a gw_t cotangent) and a single-chunk
+        candidate space.
+    :return: (gauss_grads (B, FEAT [+ n_attr], P_pad): rows 0..2 grad_mu,
+        3..11 grad_Lambda;  ray_grads_t (nb, FEAT, R_pad) or None): same
         contract as :func:`fine_bwd_compact_pallas` modulo the transposed
         rays output.
     """
     from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
 
-    nb, M_max, FEAT_ = table_c.shape
+    nb, M_max, featw = table_c.shape
     _, Kp, R_pad = raw[0].shape
     n_c = M_max // cand_chunk
     csel, counts = prefix_visit_lists(counts_c, M_max, cand_chunk)
     fold = len(g_t) == 4
     want_rays = mode in ("both", "rays")
+    assert featw == FEAT + int(n_attr), (table_c.shape, n_attr)
+    if n_attr:
+        assert fold and g_img_t is not None, (
+            "fused attr backward needs the weight fold cotangent"
+        )
 
     if fold:
         idx_t, l_t, a_t, d_t, w_t = raw
@@ -903,14 +933,21 @@ def fine_bwd_compact_t_pallas(
     kernel = functools.partial(
         _bwd_t_kernel, K=int(K), chunk=int(cand_chunk),
         want_rays=want_rays, fold=fold, ow=float(agg_ow),
+        n_attr=int(n_attr),
     )
-    cmap = lambda b, c, cs, ct: (b, cs[b, c], 0)
+    if n_attr:
+        # doubled chunk axis (d_w phase + gradient phase): both phases
+        # stream the same visit list
+        cmap = lambda b, c, cs, ct, _n=n_c: (b, cs[b, c % _n], 0)
+        gmap = lambda b, c, cs, ct, _n=n_c: (b, 0, cs[b, c % _n])
+    else:
+        cmap = lambda b, c, cs, ct: (b, cs[b, c], 0)
+        gmap = lambda b, c, cs, ct: (b, 0, cs[b, c])
     bmap = lambda b, c, cs, ct: (b, 0, 0)
     slot_t = pl.BlockSpec((1, Kp, R_pad), bmap, memory_space=pltpu.VMEM)
-    gmap = lambda b, c, cs, ct: (b, 0, cs[b, c])
     in_specs = [
         pl.BlockSpec((1, cand_chunk, 1), cmap, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, FEAT, cand_chunk), gmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, featw, cand_chunk), gmap, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, FEAT, R_pad), bmap, memory_space=pltpu.VMEM),
         slot_t, slot_t, slot_t, slot_t, slot_t, slot_t, slot_t,
     ]
@@ -919,9 +956,14 @@ def fine_bwd_compact_t_pallas(
     if fold:
         in_specs += [slot_t, slot_t]
         inputs += [w_t, gw_t]
-    og_spec = pl.BlockSpec((1, FEAT, M_max), bmap, memory_space=pltpu.VMEM)
+    if n_attr:
+        in_specs.append(
+            pl.BlockSpec((1, n_attr, R_pad), bmap, memory_space=pltpu.VMEM)
+        )
+        inputs.append(g_img_t)
+    og_spec = pl.BlockSpec((1, featw, M_max), bmap, memory_space=pltpu.VMEM)
     out_specs = [og_spec]
-    out_shapes = [jax.ShapeDtypeStruct((nb, FEAT, M_max), jnp.float32)]
+    out_shapes = [jax.ShapeDtypeStruct((nb, featw, M_max), jnp.float32)]
     if want_rays:
         out_specs.append(
             pl.BlockSpec((1, FEAT, R_pad), bmap, memory_space=pltpu.VMEM)
@@ -932,9 +974,11 @@ def fine_bwd_compact_t_pallas(
     scratch = [pltpu.VMEM((Kp, R_pad), jnp.float32)] * 3
     if want_rays:
         scratch.append(pltpu.VMEM((FEAT, R_pad), jnp.float32))
+    if n_attr:
+        scratch.append(pltpu.VMEM((Kp, R_pad), jnp.float32))  # dw_s
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb, n_c),
+        grid=(nb, (2 * n_c) if n_attr else n_c),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -948,9 +992,9 @@ def fine_bwd_compact_t_pallas(
         ),
         interpret=interpret,
     )(csel, counts, *inputs)
-    og = out[0]                                              # (nb, 16, M_max)
+    og = out[0]                                        # (nb, featw, M_max)
     rb_t = out[1] if want_rays else None
-    rows = jnp.swapaxes(og, 1, 2).reshape(nb * M_max, FEAT)
+    rows = jnp.swapaxes(og, 1, 2).reshape(nb * M_max, featw)
     if dst is not None:
         gg = _gather_back(rows, dst, B, P_pad, nb * M_max)
         return jnp.swapaxes(gg, 1, 2), rb_t
@@ -960,7 +1004,7 @@ def fine_bwd_compact_t_pallas(
     img = jnp.arange(nb, dtype=jnp.int32)[:, None] // (nb // B)
     flat = jnp.where(valid, img * P_pad + pos_c, B * P_pad).reshape(-1)
     summed = jax.ops.segment_sum(rows, flat, num_segments=B * P_pad + 1)
-    gg = summed[: B * P_pad].reshape(B, P_pad, FEAT)
+    gg = summed[: B * P_pad].reshape(B, P_pad, featw)
     return jnp.swapaxes(gg, 1, 2), rb_t
 
 

@@ -117,11 +117,13 @@ def _kernel_tc(
     sublane-broadcast sweeps, fused here instead of a separate XLA pass
     over the HBM round-tripped selection.
     """
-    oimg_ref = None
+    oimg_ref = img_acc = None
     if n_attr:
-        # fused attribute compositing rides the fused aggregation
+        # fused attribute compositing rides the fused aggregation; the
+        # grid's chunk axis is DOUBLED (select phase, then an attr phase
+        # re-streaming the same chunks against the final selection)
         (oi_ref, ol_ref, oa_ref, od_ref, ow_ref, oimg_ref,
-         run_len, run_act, run_dsd, run_idx) = refs
+         run_len, run_act, run_dsd, run_idx, img_acc) = refs
     elif agg_ow is None:
         (oi_ref, ol_ref, oa_ref, od_ref,
          run_len, run_act, run_dsd, run_idx) = refs
@@ -131,6 +133,8 @@ def _kernel_tc(
          run_len, run_act, run_dsd, run_idx) = refs
     c = pl.program_id(2)
     n_c = pl.num_programs(2)
+    if n_attr:
+        n_c = n_c // 2
     b = pl.program_id(0)
 
     rf = rf_ref[0]                      # (FEAT, R)
@@ -288,40 +292,49 @@ def _kernel_tc(
                 occ = jax.lax.fori_loop(
                     0, K, occ_body, jnp.zeros_like(l), unroll=False
                 )
-            w = jnp.exp(-float(agg_ow) * occ) * ea * 1.6487212707001282
-            ow_ref[0] = w
-            if n_attr:
-                # Fused attribute compositing (``interpolate_attr``):
-                # img[ca, r] = sum_k w[k, r] * attr[sel_k(r), ca], computed
-                # as attr^T @ Wc with Wc[c, r] = sum_k [ids_c == sel_k] w_k
-                # — the per-candidate collapsed weight matrix
-                # (pallas_attr._match_weight) built against the LAST chunk,
-                # so this path requires a single-chunk candidate space
-                # (n_c == 1, asserted by the wrapper).  Invalid slots carry
-                # w = 0 (act = INF), so no gating is needed; padding
-                # candidates (id == -1) never match valid selections.
-                ids_col = ids_ref[0]                         # (C, 1)
-                attr_t = gf_ref[0][:, FEAT:FEAT + n_attr]    # (C, Ca)
-                if K <= _MAX_UNROLL_K:
-                    Wc = jnp.zeros((C, R), jnp.float32)
-                    for k in range(K):
-                        oh = ids_col == run_idx[k:k + 1, :]
-                        Wc = Wc + jnp.where(oh, w[k:k + 1, :], 0.0)
-                else:
-                    def wc_body(k, Wc):
-                        oh = ids_col == run_idx[pl.ds(k, 1), :]
-                        return Wc + jnp.where(
-                            oh, ow_ref[0, pl.ds(k, 1), :], 0.0
-                        )
-                    Wc = jax.lax.fori_loop(
-                        0, K, wc_body, jnp.zeros((C, R), jnp.float32),
-                        unroll=False,
+            ow_ref[0] = jnp.exp(-float(agg_ow) * occ) * ea * 1.6487212707001282
+
+    if n_attr:
+        # ---- attr phase (grid steps n_c .. 2*n_c-1): fused attribute
+        # compositing (``interpolate_attr``) against the FINAL selection:
+        # img[ca, r] = sum_k w[k, r] * attr[sel_k(r), ca], per occupied
+        # chunk as attr^T @ Wc with Wc[c, r] = sum_k [ids_c == sel_k] w_k
+        # — the per-candidate collapsed weight matrix
+        # (pallas_attr._match_weight).  Invalid slots carry w = 0
+        # (act = INF), so no gating is needed; padding candidates
+        # (id == -1) never match valid selections.
+        @pl.when(c == n_c)
+        def _():
+            img_acc[:] = jnp.zeros_like(img_acc)
+
+        @pl.when((c >= n_c) & (c - n_c < cnt_ref[b]))
+        def _():
+            ids_col = ids_ref[0]                         # (C, 1)
+            attr_t = gf_ref[0][:, FEAT:FEAT + n_attr]    # (C, Ca)
+            if K <= _MAX_UNROLL_K:
+                Wc = jnp.zeros((C, R), jnp.float32)
+                for k in range(K):
+                    oh = ids_col == run_idx[k:k + 1, :]
+                    Wc = Wc + jnp.where(oh, ow_ref[0, k:k + 1, :], 0.0)
+            else:
+                def wc_body(k, Wc):
+                    oh = ids_col == run_idx[pl.ds(k, 1), :]
+                    return Wc + jnp.where(
+                        oh, ow_ref[0, pl.ds(k, 1), :], 0.0
                     )
-                oimg_ref[0] = jax.lax.dot_general(
-                    attr_t, Wc, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                Wc = jax.lax.fori_loop(
+                    0, K, wc_body, jnp.zeros((C, R), jnp.float32),
+                    unroll=False,
                 )
+            img_acc[:] = img_acc[:] + jax.lax.dot_general(
+                attr_t, Wc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        @pl.when(c == 2 * n_c - 1)
+        def _():
+            oimg_ref[0] = img_acc[:]
 
 
 def fine_select_compact_pallas(
@@ -362,10 +375,7 @@ def fine_select_compact_pallas(
     assert table.shape[2] == featw, (table.shape, featw)
     assert R_pad % ray_chunk == 0 and C_total % cand_chunk == 0
     if n_attr:
-        assert agg_ow is not None and C_total == cand_chunk, (
-            "fused attributes need fused aggregation and a single-chunk "
-            "candidate space"
-        )
+        assert agg_ow is not None, "fused attributes need fused aggregation"
     # _kernel_tc derives each ray's sub-bin from its lane index within the
     # current ray chunk; partial-tile chunks would misattribute membership
     assert sub_bins == 1 or ray_chunk == R_pad, (
@@ -376,10 +386,18 @@ def fine_select_compact_pallas(
     assert csel.shape == (nb, n_c)
 
     # the membership bits are always per bin; the feature table / ids are
-    # per bin when compacted, per image otherwise
-    bmap = lambda b, r, c, cs, ct: (b, cs[b, c], 0)
+    # per bin when compacted, per image otherwise.  With fused attrs the
+    # chunk axis is doubled (select phase then attr phase) and both phases
+    # stream the same visit list.
+    if n_attr:
+        bmap = lambda b, r, c, cs, ct, _n=n_c: (b, cs[b, c % _n], 0)
+    else:
+        bmap = lambda b, r, c, cs, ct: (b, cs[b, c], 0)
     if per_bin_cand:
         cmap = bmap
+    elif n_attr:
+        cmap = lambda b, r, c, cs, ct, _bw=int(bh_bw), _n=n_c: (
+            b // _bw, cs[b, c % _n], 0)
     else:
         cmap = lambda b, r, c, cs, ct, _bw=int(bh_bw): (b // _bw, cs[b, c], 0)
 
@@ -407,9 +425,17 @@ def fine_select_compact_pallas(
             (1, n_attr, ray_chunk), lambda b, r, c, cs, ct: (b, 0, r),
             memory_space=pltpu.VMEM,
         ))
+    scratch_shapes = [
+        pltpu.VMEM((Kp, ray_chunk), jnp.float32),
+        pltpu.VMEM((Kp, ray_chunk), jnp.float32),
+        pltpu.VMEM((Kp, ray_chunk), jnp.float32),
+        pltpu.VMEM((Kp, ray_chunk), jnp.int32),
+    ]
+    if n_attr:
+        scratch_shapes.append(pltpu.VMEM((n_attr, ray_chunk), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb, n_r, n_c),
+        grid=(nb, n_r, (2 * n_c) if n_attr else n_c),
         in_specs=[
             pl.BlockSpec((1, cand_chunk, 1), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cand_chunk, featw), cmap, memory_space=pltpu.VMEM),
@@ -419,12 +445,7 @@ def fine_select_compact_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
-            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
-            pltpu.VMEM((Kp, ray_chunk), jnp.float32),
-            pltpu.VMEM((Kp, ray_chunk), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     out = pl.pallas_call(
         kernel,

@@ -53,13 +53,18 @@ class Fragments:
     """
 
     def __init__(self, vert_weight, vert_index, valid_num, vert_hit_length,
-                 attr_ctx=None, overflow_points=None, attr_geom=None):
+                 attr_ctx=None, overflow_points=None, attr_img=None,
+                 attr_geom=None):
         self.vert_weight = vert_weight
         self.vert_index = vert_index
         self.valid_num = valid_num
         self.vert_hit_length = vert_hit_length
         self.attr_ctx = attr_ctx
         self.overflow_points = overflow_points
+        # (B, H, W, d) fused-compositing attribute image — populated when
+        # the producing render was given ``attrs=`` (see render_pipeline);
+        # equals interpolate_attr(self, attrs) with one fused kernel fewer
+        self.attr_img = attr_img
         self.attr_geom = attr_geom
 
     _DATA_FIELDS = frozenset(
@@ -75,6 +80,7 @@ class Fragments:
         ):
             object.__setattr__(self, "attr_ctx", None)
             object.__setattr__(self, "attr_geom", None)
+            object.__setattr__(self, "attr_img", None)
         object.__setattr__(self, name, value)
 
     def __getitem__(self, item):
@@ -126,7 +132,8 @@ class Fragments:
     def tree_flatten(self):
         return (
             (self.vert_weight, self.vert_index, self.valid_num,
-             self.vert_hit_length, self.attr_ctx, self.overflow_points),
+             self.vert_hit_length, self.attr_ctx, self.overflow_points,
+             self.attr_img),
             self.attr_geom,
         )
 
@@ -262,6 +269,7 @@ def render_pipeline(
     max_point_per_bin: Optional[int] = None,
     cam_ctx: Optional["CameraCtx"] = None,
     camera_grad: bool = True,
+    attrs: Optional[jax.Array] = None,
 ) -> Fragments:
     """Pure functional forward render (the body of reference
     ``Renderer.py:102-150``): generate rays, center verts on the camera,
@@ -276,7 +284,14 @@ def render_pipeline(
     ``camera_grad=False`` declares the camera pose non-differentiated (a
     fitting loop over fixed cameras): the fine backward skips the per-ray
     gradient pass entirely and returns zero ray gradients.  Leave True
-    when optimizing R/T/focal through the renderer (pose estimation)."""
+    when optimizing R/T/focal through the renderer (pose estimation).
+
+    ``attrs`` ((N, d) or (B, N, d), optional): per-kernel attributes to
+    composite during the render — the returned Fragments carry
+    ``attr_img = interpolate_attr(frag, attrs)`` with the whole attribute
+    chain fused into the selection kernels on TPU (the reference's own
+    renderer composites in the same forward, ``Renderer.py:130-150``).
+    Differentiable w.r.t. ``attrs`` like ``interpolate_attr``."""
     # bf16/f16 geometry is accepted (the reference runs its renderer under
     # torch.cuda.amp.autocast, Utils.py:218-228) but the selection math is
     # accuracy-critical — promote to f32 at the boundary; Fragments are
@@ -299,6 +314,15 @@ def render_pipeline(
         rays, ray_origins = camera_rays(R, T, focal, principal, image_size)
 
     verts_transformed = verts - ray_origins[:, None, :]
+    attrs_b = None
+    if attrs is not None:
+        attrs_b = jnp.asarray(attrs, jnp.float32)
+        if attrs_b.ndim == 2:
+            attrs_b = attrs_b[None]
+        attrs_b = jnp.broadcast_to(
+            attrs_b,
+            (verts_transformed.shape[0],) + attrs_b.shape[1:],
+        )
     if sigmas.ndim == 3:
         sigmas = jnp.broadcast_to(sigmas[None], (verts_transformed.shape[0],) + sigmas.shape)
 
@@ -318,6 +342,7 @@ def render_pipeline(
             "rf_k": cam_ctx.rf_k, "geom": cam_ctx.geom,
         },
         camera_grad=camera_grad,
+        attrs=attrs_b,
     )
     if len(sel) == 5:
         # O(K^2) erf compositing fused into the selection kernel (TPU) or
@@ -345,13 +370,16 @@ def render_pipeline(
             if ctx is not None else jnp.zeros((), jnp.int32)
         )
         valid_num = jnp.sum(sel_idx >= 0, axis=-1)
-        return Fragments(
+        frag = Fragments(
             vert_weight=vert_weight,
             vert_index=sel_idx,
             valid_num=valid_num,
             vert_hit_length=sel_len,
             overflow_points=ovf,
         )
+        if attrs is not None:
+            frag.attr_img = interpolate_attr(frag, attrs)
+        return frag
 
     from voge_tpu.ops.fine import unbin_kern
 
@@ -366,7 +394,7 @@ def render_pipeline(
     else:
         attr_ctx = (sel_idx, vert_weight, ctx["mask_k"], ctx["ids_p"],
                     ctx["perm"])
-    return Fragments(
+    frag = Fragments(
         vert_weight=ub(vert_weight),
         vert_index=vert_index,
         valid_num=jnp.sum(vert_index >= 0, axis=-1),
@@ -375,6 +403,16 @@ def render_pipeline(
         overflow_points=jnp.sum(ctx["overflow"]).astype(jnp.int32),
         attr_geom=geom,
     )
+    if attrs is not None:
+        if "img_t" in ctx:
+            # fused in-kernel attribute image: (nb, Ca, R_pad) transposed
+            # kernel layout -> (B, H, W, d)
+            img_k = jnp.swapaxes(ctx["img_t"], 1, 2)
+            d = attrs.shape[-1]
+            frag.attr_img = ub(img_k)[..., :d]
+        else:
+            frag.attr_img = interpolate_attr(frag, attrs)
+    return frag
 
 
 class GaussianRenderer:
