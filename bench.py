@@ -23,6 +23,7 @@ it with a traffic-derived number per the round-2 verdict.)
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -65,10 +66,17 @@ def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
     verts = jnp.asarray(g.verts)
     sigmas = jnp.asarray(g.sigmas)
     colors = jnp.asarray((np.asarray(g.verts) + 1) / 3)
+    # Build-time rule on the relay attachment (DESIGN_NOTES round-5):
+    # camera/target setup stays HOST-side (numpy / CPU backend — every
+    # distinct eager TPU op costs a ~20-45 s cold compile), large device
+    # arrays are passed to the jitted step as ARGUMENTS, never closures
+    # (closure constants force pathological device readbacks at lowering).
     R, T = look_at_view_transform(dist=6, elev=10, azim=70)
-    focal = jnp.asarray([[300.0, 300.0]])
-    principal = jnp.asarray([[image_size[1] / 2, image_size[0] / 2]])
-    target = jnp.ones((1,) + tuple(image_size) + (3,)) * 0.5
+    focal = np.asarray([[300.0, 300.0]], np.float32)
+    principal = np.asarray(
+        [[image_size[1] / 2, image_size[0] / 2]], np.float32)
+    target = jax.device_put(
+        np.full((1,) + tuple(image_size) + (3,), 0.5, np.float32))
     # camera-static context: the fitting loop's cameras never change, so
     # the ray features are precomputed once (the library pattern a user
     # fitting scenes would use; GaussianRenderer does this automatically)
@@ -77,7 +85,7 @@ def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
         max_assign=max_assign,
     )
 
-    def loss_fn(verts, sigmas, colors):
+    def loss_fn(verts, sigmas, colors, cam_ctx, target):
         # attrs= : the attribute compositing is fused into the selection
         # kernels (frag.attr_img == interpolate_attr(frag, colors))
         frag = render_pipeline(
@@ -92,7 +100,8 @@ def build_fwdbwd(n_gauss: int, image_size=(256, 256), max_assign=20):
     fwd_bwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
     # distinct inputs for EVERY execution (repeat inputs can be served
     # from a relay result cache, deflating the estimate)
-    args_fn = lambda i: (verts * (1.0 + 1e-5 * i), sigmas, colors)
+    args_fn = lambda i: (verts * (1.0 + 1e-5 * i), sigmas, colors,
+                         cam_ctx, target)
     return fwd_bwd, args_fn, verts.shape[0]
 
 
@@ -110,14 +119,14 @@ def build_fwd_pointcloud(n_points=100000, image_size=(320, 320)):
     verts, isig, _ = fixed_pointcloud_converter(pts, radius=0.01)
     verts, isig = jnp.asarray(verts), jnp.asarray(isig)
     R, T = look_at_view_transform(dist=4, elev=20, azim=30)
-    focal = jnp.asarray([[400.0, 400.0]])
-    principal = jnp.asarray([[160.0, 160.0]])
+    focal = np.asarray([[400.0, 400.0]], np.float32)
+    principal = np.asarray([[160.0, 160.0]], np.float32)
     cam_ctx = precompute_camera_ctx(
         R, T, focal, principal, tuple(image_size), verts.shape[0],
         max_assign=20,
     )
 
-    def fwd(v):
+    def fwd(v, isig, cam_ctx):
         frag = render_pipeline(
             v, isig, R, T, focal, principal, image_size=tuple(image_size),
             max_assign=20, cam_ctx=cam_ctx,
@@ -125,7 +134,7 @@ def build_fwd_pointcloud(n_points=100000, image_size=(320, 320)):
         return frag.vert_weight
 
     fn = jax.jit(fwd)
-    return fn, (lambda i: (verts * (1 + 1e-4 * i),))
+    return fn, (lambda i: (verts * (1 + 1e-4 * i), isig, cam_ctx))
 
 
 def build_occlusion():
@@ -153,16 +162,16 @@ def build_occlusion():
     sigmas = jnp.asarray(np.concatenate([s0, s1], 0))
     colors = jnp.asarray(np.concatenate([col0, col1], 0))
     R, T = look_at_view_transform(dist=5, elev=10, azim=20)
-    focal = jnp.asarray([[300.0, 300.0]])
-    principal = jnp.asarray([[200.0, 200.0]])
-    target = jnp.ones((1, 400, 400, 3)) * 0.5
+    focal = np.asarray([[300.0, 300.0]], np.float32)
+    principal = np.asarray([[200.0, 200.0]], np.float32)
+    target = jax.device_put(np.full((1, 400, 400, 3), 0.5, np.float32))
     from voge_tpu.renderer import precompute_camera_ctx
     cam_ctx = precompute_camera_ctx(
         R, T, focal, principal, (400, 400), int(verts.shape[0]),
         max_assign=60, max_point_per_bin=1500,
     )
 
-    def loss_fn(verts, sigmas, colors):
+    def loss_fn(verts, sigmas, colors, cam_ctx, target):
         frag = render_pipeline(
             verts, sigmas, R, T, focal, principal, image_size=(400, 400),
             max_assign=60, max_point_per_bin=1500, cam_ctx=cam_ctx,
@@ -172,7 +181,8 @@ def build_occlusion():
         return jnp.mean((img - target) ** 2) + jnp.mean(sil ** 2)
 
     fn = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
-    args_fn = lambda i: (verts * (1.0 + 1e-4 * i), sigmas, colors)
+    args_fn = lambda i: (verts * (1.0 + 1e-4 * i), sigmas, colors,
+                         cam_ctx, target)
     return fn, args_fn, verts.shape[0]
 
 
@@ -198,8 +208,8 @@ def build_texture():
     sigmas = jnp.asarray(isig)
     n_vert = verts.shape[0]
     R, T = look_at_view_transform(dist=3, elev=0.1, azim=0.6, degrees=False)
-    focal = jnp.asarray([[1800.0, 1800.0]])
-    principal = jnp.asarray([[336.0, 128.0]])
+    focal = np.asarray([[1800.0, 1800.0]], np.float32)
+    principal = np.asarray([[336.0, 128.0]], np.float32)
     rng = np.random.RandomState(0)
     image = jnp.asarray(rng.uniform(size=(1, 256, 672, 3)).astype(np.float32))
     from voge_tpu.renderer import precompute_camera_ctx
@@ -207,7 +217,7 @@ def build_texture():
         R, T, focal, principal, (256, 672), int(n_vert), max_assign=80,
     )
 
-    def extract_and_rerender(verts, sigmas, image):
+    def extract_and_rerender(verts, sigmas, image, cam_ctx):
         frag = render_pipeline(
             verts, sigmas, R, T, focal, principal, image_size=(256, 672),
             max_assign=80, cam_ctx=cam_ctx,
@@ -217,7 +227,7 @@ def build_texture():
         return to_white_background(frag, texture)
 
     fn = jax.jit(extract_and_rerender)
-    args_fn = lambda i: (verts * (1.0 + 1e-4 * i), sigmas, image)
+    args_fn = lambda i: (verts * (1.0 + 1e-4 * i), sigmas, image, cam_ctx)
     return fn, args_fn, n_vert
 
 
@@ -247,17 +257,18 @@ def build_shapefit_iter():
         dist=[2.7] * B, elev=list(np.linspace(-10, 30, B)),
         azim=list(np.linspace(-60, 60, B)),
     )
-    focal = jnp.broadcast_to(jnp.asarray([[126.0, 126.0]]), (B, 2))
-    principal = jnp.broadcast_to(jnp.asarray([[64.0, 64.0]]), (B, 2))
-    t_sil = jnp.zeros((B, 128, 128))
-    t_rgb = jnp.ones((B, 128, 128, 3)) * 0.3
+    focal = np.broadcast_to(np.asarray([[126.0, 126.0]], np.float32), (B, 2))
+    principal = np.broadcast_to(np.asarray([[64.0, 64.0]], np.float32),
+                                (B, 2))
+    t_sil = jax.device_put(np.zeros((B, 128, 128), np.float32))
+    t_rgb = jax.device_put(np.full((B, 128, 128, 3), 0.3, np.float32))
     from voge_tpu.renderer import precompute_camera_ctx
     cam_ctx = precompute_camera_ctx(
         R, T, focal, principal, (128, 128), int(verts.shape[0]),
         max_assign=25, max_point_per_bin=-1,
     )
 
-    def loss_fn(verts, colors):
+    def loss_fn(verts, colors, sigmas, cam_ctx, t_sil, t_rgb):
         frag = render_pipeline(
             verts, sigmas, R, T, focal, principal, image_size=(128, 128),
             max_assign=25, max_point_per_bin=-1, cam_ctx=cam_ctx,
@@ -269,11 +280,13 @@ def build_shapefit_iter():
     lr = 1.0
 
     @jax.jit
-    def step(verts, colors):
-        gv, gc = jax.grad(loss_fn, argnums=(0, 1))(verts, colors)
+    def step(verts, colors, sigmas, cam_ctx, t_sil, t_rgb):
+        gv, gc = jax.grad(loss_fn, argnums=(0, 1))(
+            verts, colors, sigmas, cam_ctx, t_sil, t_rgb)
         return verts - lr * gv, colors - lr * gc
 
-    args_fn = lambda i: (verts * (1.0 + 1e-4 * i), colors)
+    args_fn = lambda i: (verts * (1.0 + 1e-4 * i), colors, sigmas,
+                         cam_ctx, t_sil, t_rgb)
     return step, args_fn, verts.shape[0]
 
 
@@ -294,10 +307,79 @@ def _stats(fn, args_fn, n1, n2, attempts):
 def _measure_fwdbwd(n_gauss):
     # the relay carries ~±0.5 ms jitter on short runs; 50 in-order
     # executions per point and the median of 5 two-point estimates keeps
-    # the ~10 ms headline stable and gives a spread to report
+    # the ~10 ms headline stable and gives a spread to report.  The 1K
+    # config's sub-3ms steps need longer runs to beat the jitter floor
+    # (driver-captured round-4 spread was 0.21 — VERDICT weak #7), so it
+    # gets 150 executions per point and 7 attempts.
     fn, args_fn, n_actual = build_fwdbwd(n_gauss)
-    r = _stats(fn, args_fn, n1=5, n2=50, attempts=5)
+    if n_gauss <= 1000:
+        r = _stats(fn, args_fn, n1=15, n2=150, attempts=7)
+    else:
+        r = _stats(fn, args_fn, n1=5, n2=50, attempts=5)
     r["n"] = n_actual
+    return r
+
+
+def build_fwdbwd_batched(n_gauss=10000, batch=8, image_size=(256, 256),
+                         max_assign=20):
+    """Batched-camera render-and-compare step: the NeMo north-star shape
+    (BASELINE.json) — B pose hypotheses of the SAME scene rendered and
+    compared per step.  The reference's only scaling story here is
+    ``DataParallelBatchifier`` (reference ``VoGE/Utils.py:179-333``,
+    thread-per-GPU); on TPU the batch axis rides the same compiled step."""
+    import jax
+    import jax.numpy as jnp
+
+    from voge_tpu.cameras import look_at_view_transform
+    from voge_tpu.converter import Cuboid
+    from voge_tpu.renderer import (
+        render_pipeline, get_silhouette, precompute_camera_ctx,
+    )
+
+    g = Cuboid.cuboid_gauss(
+        (-1, 1), (-1, 1), (-1, 1), n_gauss, percentage=0.6, as_obj=True
+    )
+    verts = jnp.asarray(g.verts)
+    sigmas = jnp.asarray(g.sigmas)
+    colors = jnp.asarray((np.asarray(g.verts) + 1) / 3)
+    B = batch
+    R, T = look_at_view_transform(
+        dist=[6.0] * B, elev=list(np.linspace(5, 25, B)),
+        azim=list(np.linspace(50, 90, B)),
+    )
+    focal = np.broadcast_to(np.asarray([[300.0, 300.0]], np.float32),
+                            (B, 2))
+    principal = np.broadcast_to(
+        np.asarray([[image_size[1] / 2, image_size[0] / 2]], np.float32),
+        (B, 2))
+    target = jax.device_put(
+        np.full((B,) + tuple(image_size) + (3,), 0.5, np.float32))
+    cam_ctx = precompute_camera_ctx(
+        R, T, focal, principal, tuple(image_size), verts.shape[0],
+        max_assign=max_assign,
+    )
+
+    def loss_fn(verts, sigmas, colors, cam_ctx, target):
+        frag = render_pipeline(
+            verts, sigmas, R, T, focal, principal,
+            image_size=tuple(image_size), max_assign=max_assign,
+            cam_ctx=cam_ctx, attrs=colors,
+        )
+        img = frag.attr_img
+        sil = get_silhouette(frag)
+        return jnp.mean((img - target) ** 2) + jnp.mean(sil ** 2)
+
+    fwd_bwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2)))
+    args_fn = lambda i: (verts * (1.0 + 1e-5 * i), sigmas, colors,
+                         cam_ctx, target)
+    return fwd_bwd, args_fn, verts.shape[0], B
+
+
+def _measure_fwdbwd_10k_b8():
+    fn, args_fn, n, B = build_fwdbwd_batched()
+    r = _stats(fn, args_fn, n1=3, n2=15, attempts=3)
+    r["n"] = n
+    r["batch"] = B
     return r
 
 
@@ -374,6 +456,13 @@ def _in_subprocess(call: str):
 
 
 def main():
+    # The headline JSON line is printed (and flushed) IMMEDIATELY after the
+    # 1K/10K measurements, BEFORE the aux workloads run: round 4 lost its
+    # recorded number because an aux workload ate the driver's outer
+    # timeout while the already-measured headline sat unprinted
+    # (VERDICT round-4 weak #1).  Whatever happens to the aux workloads —
+    # hang, crash, SIGKILL from the driver — the one JSON line the driver
+    # parses has already reached stdout.
     results = {}
     for key in ("1k", "10k"):
         try:
@@ -390,7 +479,7 @@ def main():
         results[f"fwdbwd_estimates_ms_{key}"] = r["estimates_ms"]
         results[f"n_gauss_{key}"] = r["n"]
         _write_details(results)  # incremental: partial results survive
-    _aux_workloads(results)
+
     if isinstance(results.get("fwdbwd_ms_10k"), float):
         # roofline context (BASELINE.md "Our v5e utilization"): the fused
         # pipeline's algorithmic minimum at the 10K config is ~42 MB of
@@ -414,15 +503,22 @@ def main():
             "metric": "256x256_fwdbwd_frames_per_sec_10k_gaussians",
             "value": -1, "unit": "frames/s", "vs_baseline": -1,
             "error": str(value),
-        }))
-        return
-    print(json.dumps({
-        "metric": "256x256_fwdbwd_frames_per_sec_10k_gaussians",
-        "value": round(value, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(value / A100_BASELINE_FPS_10K, 3),
-        "spread": results.get("fwdbwd_spread_10k"),
-    }))
+        }), flush=True)
+    else:
+        print(json.dumps({
+            "metric": "256x256_fwdbwd_frames_per_sec_10k_gaussians",
+            "value": round(value, 2),
+            "unit": "frames/s",
+            "vs_baseline": round(value / A100_BASELINE_FPS_10K, 3),
+            "spread": results.get("fwdbwd_spread_10k"),
+        }), flush=True)
+    sys.stdout.flush()
+
+    # Aux workloads AFTER the headline is safely on stdout.  They write
+    # only to BENCH_DETAILS.json (incrementally), never to stdout, so the
+    # driver's "exactly ONE JSON line" contract holds.
+    _aux_workloads(results)
+    _write_details(results)
 
 
 def _write_details(results):
@@ -431,8 +527,14 @@ def _write_details(results):
 
 
 def _aux_workloads(results):
+    if os.environ.get("VOGE_BENCH_FAULT_AUX"):
+        # fault injection (tests/test_bench_contract.py): simulate a hung
+        # aux workload to prove the already-printed headline line survives
+        # an aux stall — the round-4 failure mode (VERDICT weak #1).
+        time.sleep(float(os.environ["VOGE_BENCH_FAULT_AUX"]))
 
     aux_workloads = [
+        ("fwdbwd_ms_10k_b8", "_measure_fwdbwd_10k_b8()", "t_ms"),
         ("fwd_ms_pointcloud_100k_320", "_measure_pointcloud()", "t_ms"),
         ("fwdbwd_ms_occlusion_400_k60", "_measure_occlusion()", "t_ms"),
         ("fwd_ms_texture_256x672_k80", "_measure_texture()", "t_ms"),
@@ -449,6 +551,14 @@ def _aux_workloads(results):
                 )
             if "n" in r:
                 results[key + "_n_gauss"] = r["n"]
+            if "batch" in r:
+                # per-hypothesis throughput: the batched render-and-compare
+                # row the TPU batch axis is meant to win (VERDICT next #8)
+                results["fwdbwd_fps_10k_b8"] = round(r["batch"] / r["t"], 1)
+                if isinstance(results.get("fwdbwd_fps_10k"), float):
+                    results["b8_speedup_per_frame"] = round(
+                        (r["batch"] / r["t"]) / results["fwdbwd_fps_10k"], 2
+                    )
         except Exception as e:  # keep the headline metric robust
             results[key] = f"failed: {e}"
         _write_details(results)

@@ -434,7 +434,9 @@ def test_max_kern_k_env_override(rng, monkeypatch):
     trace time (no re-import needed), and the selection is correct on both
     sides of it (documented in Documentation.md)."""
     monkeypatch.delenv("VOGE_TPU_MAX_KERN_K", raising=False)
-    assert fine._max_kern_k() == fine._DEFAULT_MAX_KERN_K == 80
+    assert fine._max_kern_k() == fine._DEFAULT_MAX_KERN_K
+    boundary = fine._DEFAULT_MAX_KERN_K
+    assert fine._kern_k_ok(boundary) and not fine._kern_k_ok(boundary + 1)
     monkeypatch.setenv("VOGE_TPU_MAX_KERN_K", "102")
     assert fine._kern_k_ok(102) and not fine._kern_k_ok(103)
     # lower the boundary below this scene's K: every kernel boundary now

@@ -25,6 +25,8 @@ from typing import Optional, Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from voge_tpu.utils import host_setup_context
+
 
 Scalar = Union[float, int]
 
@@ -49,6 +51,16 @@ def camera_position_from_spherical_angles(
 ) -> jax.Array:
     """Camera centers from (dist, elev, azim); PyTorch3D convention:
     ``x = d cos(e) sin(a); y = d sin(e); z = d cos(e) cos(a)`` (+ ``at``)."""
+    with host_setup_context(distance, elevation, azimuth, at):
+        return _camera_position_from_spherical_angles(
+            distance, elevation, azimuth, degrees=degrees, at=at, dtype=dtype
+        )
+
+
+def _camera_position_from_spherical_angles(
+    distance, elevation, azimuth, degrees: bool = True,
+    at=((0.0, 0.0, 0.0),), dtype=jnp.float32,
+) -> jax.Array:
     dist = jnp.asarray(distance, dtype=dtype).reshape(-1)
     elev = jnp.asarray(elevation, dtype=dtype).reshape(-1)
     azim = jnp.asarray(azimuth, dtype=dtype).reshape(-1)
@@ -69,6 +81,14 @@ def look_at_rotation(
 ) -> jax.Array:
     """Rotation R (N,3,3) such that ``x_view = x_world @ R`` points the camera
     at ``at`` with up vector ``up`` (PyTorch3D ``look_at_rotation``)."""
+    with host_setup_context(camera_position, at, up):
+        return _look_at_rotation(camera_position, at, up, dtype=dtype)
+
+
+def _look_at_rotation(
+    camera_position, at=((0.0, 0.0, 0.0),), up=((0.0, 1.0, 0.0),),
+    dtype=jnp.float32,
+) -> jax.Array:
     camera_position = jnp.atleast_2d(jnp.asarray(camera_position, dtype=dtype))
     at = jnp.broadcast_to(jnp.asarray(at, dtype=dtype), camera_position.shape)
     up = jnp.broadcast_to(jnp.asarray(up, dtype=dtype), camera_position.shape)
@@ -93,19 +113,24 @@ def look_at_view_transform(
     eye: Optional[Sequence] = None,
     at=((0.0, 0.0, 0.0),), up=((0.0, 1.0, 0.0),), dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
-    """(R, T) for cameras looking at ``at`` (PyTorch3D-compatible)."""
-    if eye is not None:
-        C = jnp.atleast_2d(jnp.asarray(eye, dtype=dtype))
-    else:
-        C = camera_position_from_spherical_angles(
-            dist, elev, azim, degrees=degrees, at=at, dtype=dtype
-        )
-    at = jnp.broadcast_to(jnp.asarray(at, dtype=dtype), C.shape)
-    up = jnp.broadcast_to(jnp.asarray(up, dtype=dtype), C.shape)
-    R = look_at_rotation(C, at, up, dtype=dtype)
-    T = -jnp.einsum("nij,nj->ni", jnp.swapaxes(R, 1, 2), C,
-                    precision=jax.lax.Precision.HIGHEST)
-    return R, T
+    """(R, T) for cameras looking at ``at`` (PyTorch3D-compatible).
+
+    Setup math runs on the CPU backend when inputs are host values (see
+    ``voge_tpu.utils.host_setup_context``); the returned arrays are
+    uncommitted and combine freely with accelerator arrays downstream."""
+    with host_setup_context(dist, elev, azim, eye, at, up):
+        if eye is not None:
+            C = jnp.atleast_2d(jnp.asarray(eye, dtype=dtype))
+        else:
+            C = _camera_position_from_spherical_angles(
+                dist, elev, azim, degrees=degrees, at=at, dtype=dtype
+            )
+        at = jnp.broadcast_to(jnp.asarray(at, dtype=dtype), C.shape)
+        up = jnp.broadcast_to(jnp.asarray(up, dtype=dtype), C.shape)
+        R = _look_at_rotation(C, at, up, dtype=dtype)
+        T = -jnp.einsum("nij,nj->ni", jnp.swapaxes(R, 1, 2), C,
+                        precision=jax.lax.Precision.HIGHEST)
+        return R, T
 
 
 class PerspectiveCameras:

@@ -1174,7 +1174,16 @@ def production_bin_geometry(
     matters more than padding for big scenes (measured 10K/256^2: bin 16
     is 13% slower; 1K: 35% faster), so large-P scenes keep the reference
     heuristic.  Results are bin-geometry independent (no truncation; see
-    the no-coarse regression test), so this is purely a schedule choice."""
+    the no-coarse regression test), so this is purely a schedule choice.
+
+    Caveat (ADVICE round-4): the coarse emission stage statically picks a
+    2x2 supertile window for P > 4096 (vs 3x3 below), assuming dense
+    scenes carry per-Gaussian footprints under ~one supertile.  A dense
+    scene whose radii exceed that (huge sigmas at low thr) routes the
+    wide Gaussians through the exact-but-capped global path; the cap is
+    surfaced per render via ``Fragments.overflow_points`` — if it reports
+    drops, pass a larger ``bin_size`` (growing the supertile) rather than
+    relying on the default geometry."""
     bin_size_cfg, mppb = coarse_bin_config(
         image_size, n_assign, n_points, bin_size, max_points_per_bin
     )
@@ -1331,9 +1340,10 @@ def ray_tracing(
             ):
                 rf_c = rf_cache.get("rf_k")
             # fused attribute compositing: planes ride the table gather and
-            # the image comes out of the select kernel (single-chunk rows
-            # only; callers fall back to the lazy interpolate_attr chain
-            # when attr_p stays None)
+            # the image comes out of the select kernel (multi-chunk-safe:
+            # chunks accumulate over the candidate grid axis; callers fall
+            # back to the lazy interpolate_attr chain when attr_p stays
+            # None)
             attr_p = None
             if attrs is not None and agg_ow is not None and return_ctx:
                 d_attr = int(attrs.shape[-1])

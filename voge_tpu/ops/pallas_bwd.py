@@ -895,8 +895,9 @@ def fine_bwd_compact_t_pallas(
         the fused attribute image's cotangent: the attr VJP (d_attr rows +
         the d_w weight-cotangent fold) runs inside the kernel and the
         gauss-grads output grows to FEAT + n_attr rows (rows FEAT.. =
-        d_attr).  Requires fold (a gw_t cotangent) and a single-chunk
-        candidate space.
+        d_attr).  Requires fold (a gw_t cotangent); the doubled-grid
+        design is multi-chunk-safe (id-matched per chunk, accumulated
+        across the candidate-chunk grid axis).
     :return: (gauss_grads (B, FEAT [+ n_attr], P_pad): rows 0..2 grad_mu,
         3..11 grad_Lambda;  ray_grads_t (nb, FEAT, R_pad) or None): same
         contract as :func:`fine_bwd_compact_pallas` modulo the transposed

@@ -224,28 +224,50 @@ class CameraCtx:
 def precompute_camera_ctx(
     R, T, focal, principal, image_size, n_gauss: int,
     max_assign: int = 20, bin_size=None, max_point_per_bin=None,
+    device=None,
 ) -> "CameraCtx":
     """Build the camera-static context for :func:`render_pipeline` (see
     :class:`CameraCtx`).  ``n_gauss``/``max_assign``/``bin_size``/
     ``max_point_per_bin`` must match the render call — they determine the
-    bin geometry (``voge_tpu.ops.fine.production_bin_geometry``)."""
+    bin geometry (``voge_tpu.ops.fine.production_bin_geometry``).
+
+    When the camera inputs are host values, the context math runs on the
+    CPU backend (``host_setup_context``): under a remote accelerator
+    attachment, running this one-time eager setup on the device costs a
+    cold compile per distinct op, and the results — typically captured by
+    an outer ``jax.jit`` as closure constants — force pathologically slow
+    device->host readbacks at lowering time (the round-4 bench blowup;
+    DESIGN_NOTES round-5).  The finished leaves are then placed once onto
+    ``device`` (default: the default backend's first device) so the
+    per-step render pays no host->device transfer.  Pass the context to
+    jitted steps **as an argument**, not a closure, if you jit around
+    :func:`render_pipeline` yourself."""
     from voge_tpu.ops import fine as F
+    from voge_tpu.utils import host_setup_context
 
     H, W = int(image_size[0]), int(image_size[1])
-    R = jnp.asarray(R)
-    T = jnp.asarray(T)
-    focal = jnp.asarray(focal)
-    principal = jnp.asarray(principal)
-    rays, origins = camera_rays(R, T, focal, principal, (H, W))
-    bs, _mppb = F.production_bin_geometry(
-        (H, W), max_assign, n_gauss, bin_size, max_point_per_bin
-    )
-    B = R.shape[0]
-    BH = (H - 1) // bs + 1
-    BW = (W - 1) // bs + 1
-    rays_feat, _R, _Rp = F._rays_features(rays, BH, BW, bs, bs)
-    rf_k, _, _ = F._group_supertiles(rays_feat, B, BH, BW)
-    return CameraCtx(rays, origins, rf_k, (H, W, bs))
+    with host_setup_context(R, T, focal, principal):
+        R = jnp.asarray(R)
+        T = jnp.asarray(T)
+        focal = jnp.asarray(focal)
+        principal = jnp.asarray(principal)
+        rays, origins = camera_rays(R, T, focal, principal, (H, W))
+        bs, _mppb = F.production_bin_geometry(
+            (H, W), max_assign, n_gauss, bin_size, max_point_per_bin
+        )
+        B = R.shape[0]
+        BH = (H - 1) // bs + 1
+        BW = (W - 1) // bs + 1
+        rays_feat, _R, _Rp = F._rays_features(rays, BH, BW, bs, bs)
+        rf_k, _, _ = F._group_supertiles(rays_feat, B, BH, BW)
+    ctx = CameraCtx(rays, origins, rf_k, (H, W, bs))
+    if device is None and jax.default_backend() != "cpu":
+        device = jax.devices()[0]
+    if device is not None:
+        ctx = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, device), ctx
+        )
+    return ctx
 
 
 @partial(

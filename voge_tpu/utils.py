@@ -142,3 +142,53 @@ def rotation_theta(theta, dtype=jnp.float32) -> jax.Array:
         [cos, -sin, zeros, sin, cos, zeros, zeros, zeros, ones], axis=-1
     )
     return rows.reshape(-1, 3, 3)
+
+
+# ---------------------------------------------------------------------------
+# host-side setup math
+# ---------------------------------------------------------------------------
+
+def _is_host_value(v) -> bool:
+    """True if ``v`` carries no committed accelerator placement: python
+    scalars, numpy arrays, tracers (abstract — placement decided by the
+    surrounding jit), and CPU-resident jax arrays all qualify."""
+    if isinstance(v, jax.core.Tracer):
+        return True
+    if isinstance(v, jax.Array):
+        try:
+            return all(d.platform == "cpu" for d in v.devices())
+        except Exception:
+            return False
+    return True
+
+
+def host_setup_context(*vals):
+    """``jax.default_device(cpu)`` context for eager *setup* math.
+
+    Camera/scene construction (look-at transforms, ray precomputation,
+    converter outputs) is tiny host math that runs once, but written with
+    ``jnp`` it executes eagerly on the default accelerator.  On remote/
+    relay-attached accelerators every *distinct* eager op pays a cold
+    compile + dispatch round-trip (~20-45 s each measured on the TPU
+    relay — DESIGN_NOTES round-5), and results captured as jit closure
+    constants additionally force device->host readbacks at lowering time
+    (the round-4 "pointcloud cold-compile" blowup: 313 s of lowering was
+    7 constant readbacks).  Running setup math on the CPU backend makes
+    those compiles milliseconds and the constant embeddings free.
+
+    Returns a ``jax.default_device`` context pinned to the CPU backend
+    when every leaf of ``vals`` is host-resident (see
+    :func:`_is_host_value`) and a CPU backend exists; otherwise a
+    null context (never mixes committed accelerator operands onto CPU,
+    and changes nothing under trace or in CPU-only test runs).
+    """
+    import contextlib
+
+    leaves = jax.tree_util.tree_leaves(vals)
+    if not all(_is_host_value(v) for v in leaves):
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
