@@ -431,8 +431,14 @@ def _in_subprocess(call: str):
     import subprocess
     import sys
 
+    # PDEATHSIG: if the DRIVER kills this parent at its outer timeout, the
+    # orphaned child would keep holding the TPU attachment into the next
+    # driver phase (observed round 5: an orphan starved the following
+    # run's compiles).  Linux parent-death signal makes the child die
+    # with us.
     code = (
-        "import json, bench; print('@@'+json.dumps(bench.%s))" % call
+        "import ctypes, json; ctypes.CDLL(None).prctl(1, 9)\n"
+        "import bench; print('@@'+json.dumps(bench.%s))" % call
     )
     last_err = None
     for attempt in range(2):  # one retry in a fresh process
@@ -517,7 +523,8 @@ def main():
     # Aux workloads AFTER the headline is safely on stdout.  They write
     # only to BENCH_DETAILS.json (incrementally), never to stdout, so the
     # driver's "exactly ONE JSON line" contract holds.
-    _aux_workloads(results)
+    if not os.environ.get("VOGE_BENCH_SKIP_AUX"):  # diagnostics escape
+        _aux_workloads(results)
     _write_details(results)
 
 
