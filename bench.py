@@ -300,6 +300,7 @@ def _stats(fn, args_fn, n1, n2, attempts):
     return {
         "t": s["median"],
         "spread": round(s["spread"], 4),
+        "iqr_spread": round(s["iqr_spread"], 4),
         "estimates_ms": [round(e * 1000, 3) for e in s["estimates"]],
     }
 
@@ -482,6 +483,7 @@ def main():
             A100_MS[f"fwdbwd_ms_{key}"] / (r["t"] * 1000), 3
         )
         results[f"fwdbwd_spread_{key}"] = r["spread"]
+        results[f"fwdbwd_iqr_spread_{key}"] = r.get("iqr_spread")
         results[f"fwdbwd_estimates_ms_{key}"] = r["estimates_ms"]
         results[f"n_gauss_{key}"] = r["n"]
         _write_details(results)  # incremental: partial results survive

@@ -103,7 +103,16 @@ def measure_stats(
         )
     med = float(np.median(ests))
     spread = float(max(ests) / min(ests) - 1.0) if len(ests) > 1 else 0.0
-    return {"median": med, "estimates": ests, "spread": spread}
+    # IQR spread: the relay's occasional multi-ms stalls land in single
+    # attempts, so max/min-1 overstates steady-state variance; the
+    # interquartile spread is the robust companion (VERDICT round-4 #7/#9)
+    if len(ests) > 2:
+        q25, q75 = np.percentile(ests, [25, 75])
+        iqr_spread = float((q75 - q25) / med)
+    else:
+        iqr_spread = spread
+    return {"median": med, "estimates": ests, "spread": spread,
+            "iqr_spread": iqr_spread}
 
 
 def measure(
