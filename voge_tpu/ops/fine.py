@@ -1001,11 +1001,11 @@ def _rt_fine_compact_impl(mus, isigmas, rays, pos_c, bits_c, ids_c,
         rays_t, table_c, bits_c, ids_c, csel, cnts, thr_act, K,
         sub_bins=4, ray_chunk=rf_k.shape[1], cand_chunk=cc,
         per_bin_cand=True, agg_ow=agg_ow, return_raw=return_raw,
-        n_attr=n_attr,
+        n_attr=n_attr, return_hitmask=return_raw,
     )
     if return_raw:
-        sel, raw = sel
-        return sel, (rf_k, table_c), raw
+        sel, raw, hm = sel
+        return sel, (rf_k, table_c), raw, (hm, cc)
     return sel, (rf_k, table_c)
 
 
@@ -1048,7 +1048,7 @@ def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
         mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c, thr_act,
         bin_size, K, agg_ow, return_raw=True, rf_c=rf_c, attr_planes=attr_p,
     )
-    sel, saved, raw = out
+    sel, saved, raw, hitmask = out
     rf_k, table_c = saved
     # Residuals: the select kernel's native TRANSPOSED (nb, Kp, R) buffers
     # (idx, len, act, dsd[, w]) — free aliases of the outputs — feed the
@@ -1059,7 +1059,8 @@ def _rt_fine_kern_c_fwd(mus, isigmas, rays, pos_c, bits_c, ids_c, counts_c,
     # lane waste plus cross-lane reduction tails; tools/kernel_bench3.py.)
     rays_t = jnp.swapaxes(rf_k, 1, 2)
     res = (mus, isigmas, rays.shape, pos_c, bits_c, ids_c, counts_c,
-           dst_l, dst_g, gpos, g_valid, rf_c, attr_p, rays_t, table_c, raw)
+           dst_l, dst_g, gpos, g_valid, rf_c, attr_p, rays_t, table_c, raw,
+           hitmask)
     return sel, res
 
 
@@ -1068,7 +1069,7 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
 
     (mus, isigmas, rays_shape, pos_c, bits_c, ids_c, counts_c,
      dst_l, dst_g, gpos_g, g_valid, rf_c, attr_p, rays_t, table_c,
-     raw) = res
+     raw, hitmask) = res
     Kp = raw[0].shape[1]
     n_attr = 0 if attr_p is None else int(attr_p.shape[1])
 
@@ -1104,7 +1105,7 @@ def _rt_fine_kern_c_bwd(thr_act, bin_size, K, agg_ow, cam_grad, res, g):
         dst=(dst_l, dst_g, gpos_g, g_valid), B=B, P_pad=P_pad,
         agg_ow=0.0 if agg_ow is None else float(agg_ow),
         mode="both" if cam_grad else "gauss",
-        n_attr=n_attr, g_img_t=g_img_t,
+        n_attr=n_attr, g_img_t=g_img_t, hitmask=hitmask,
     )
     grad_mus = jnp.stack([gg[:, i, :P] for i in range(3)], axis=-1)
     grad_isg = jnp.stack(

@@ -630,9 +630,7 @@ def _bwd_t_kernel(
         def _():
             dw_s[:] = jnp.zeros_like(dw_s)
 
-        @pl.when(c < cnt_ref[b])
-        def _():
-            ids_col = ids_ref[0]                         # (C, 1)
+        def _dw_chunk(ids_col):
             attr_p = gp_ref[0][FEAT:FEAT + n_attr]       # (Ca, C)
             S = jax.lax.dot_general(
                 attr_p, gimg_ref[0], (((0,), (0,)), ((), ())),
@@ -655,6 +653,19 @@ def _bwd_t_kernel(
                     )
                     return 0
                 jax.lax.fori_loop(0, K, dw_body, 0, unroll=False)
+
+        @pl.when(c < cnt_ref[b])
+        def _():
+            ids_col = ids_ref[0]                         # (C, 1)
+            # id-range gate — same reasoning as the grad phase below
+            _sel = selt_ref[0]
+            _ovl = jnp.max(jnp.where(
+                (_sel >= ids_col[0, 0]) & (_sel <= jnp.max(ids_col)),
+                1.0, 0.0)) > 0.0
+
+            @pl.when(_ovl)
+            def _():
+                _dw_chunk(ids_col)
 
     @pl.when(c == ph1)
     def _():
@@ -748,119 +759,133 @@ def _bwd_t_kernel(
     def _():
         ids = ids_ref[0]                                    # (C, 1)
         C = ids.shape[0]
-        rft = rft_ref[0]                                    # (FEAT, R)
-        gp = gp_ref[0]                                      # (FEAT, C)
+        # id-range gate (see pallas_fine2._kernel_tc attr phase): compacted
+        # ids are ascending per supertile, so a chunk whose [min, max] id
+        # range contains no selected id builds all-zero OH matrices and
+        # contributes nothing — skip the K match passes, the MXU dots and
+        # the output accumulate.  Large win on multi-chunk supertiles
+        # (K=60/80 workloads, no-coarse fitting).
+        mn_id = ids[0, 0]
+        mx_id = jnp.max(ids)
+        _sel = selt_ref[0]
+        _ovl = jnp.max(jnp.where(
+            (_sel >= mn_id) & (_sel <= mx_id), 1.0, 0.0)) > 0.0
 
-        def acc_k(k_sel, k_gk, k_gm, k_ga, k_w, carry):
-            OHg, OHm, OHa, Wc = carry
-            oh = jnp.where(ids == k_sel, 1.0, 0.0)          # (C, R)
-            Wc = None if Wc is None else Wc + oh * k_w
-            return (OHg + oh * k_gk, OHm + oh * k_gm, OHa + oh * k_ga, Wc)
+        @pl.when(_ovl)
+        def _():
+            rft = rft_ref[0]                                # (FEAT, R)
+            gp = gp_ref[0]                                      # (FEAT, C)
 
-        zero = jnp.zeros((C, R), jnp.float32)
-        Wc0 = zero if n_attr else None
-        if K <= _MAX_UNROLL_K:
-            OHg, OHm, OHa, Wc = zero, zero, zero, Wc0
-            for k in range(K):
-                OHg, OHm, OHa, Wc = acc_k(
-                    selt_ref[0, k:k + 1, :], gk_s[k:k + 1, :],
-                    gm_s[k:k + 1, :], ga_s[k:k + 1, :],
-                    wt_ref[0, k:k + 1, :] if n_attr else None,
-                    (OHg, OHm, OHa, Wc),
+            def acc_k(k_sel, k_gk, k_gm, k_ga, k_w, carry):
+                OHg, OHm, OHa, Wc = carry
+                oh = jnp.where(ids == k_sel, 1.0, 0.0)          # (C, R)
+                Wc = None if Wc is None else Wc + oh * k_w
+                return (OHg + oh * k_gk, OHm + oh * k_gm, OHa + oh * k_ga, Wc)
+
+            zero = jnp.zeros((C, R), jnp.float32)
+            Wc0 = zero if n_attr else None
+            if K <= _MAX_UNROLL_K:
+                OHg, OHm, OHa, Wc = zero, zero, zero, Wc0
+                for k in range(K):
+                    OHg, OHm, OHa, Wc = acc_k(
+                        selt_ref[0, k:k + 1, :], gk_s[k:k + 1, :],
+                        gm_s[k:k + 1, :], ga_s[k:k + 1, :],
+                        wt_ref[0, k:k + 1, :] if n_attr else None,
+                        (OHg, OHm, OHa, Wc),
+                    )
+            elif n_attr:
+                def body(k, carry):
+                    return acc_k(
+                        selt_ref[0, pl.ds(k, 1), :], gk_s[pl.ds(k, 1), :],
+                        gm_s[pl.ds(k, 1), :], ga_s[pl.ds(k, 1), :],
+                        wt_ref[0, pl.ds(k, 1), :], carry,
+                    )
+                OHg, OHm, OHa, Wc = jax.lax.fori_loop(
+                    0, K, body, (zero, zero, zero, zero), unroll=False
                 )
-        elif n_attr:
-            def body(k, carry):
-                return acc_k(
-                    selt_ref[0, pl.ds(k, 1), :], gk_s[pl.ds(k, 1), :],
-                    gm_s[pl.ds(k, 1), :], ga_s[pl.ds(k, 1), :],
-                    wt_ref[0, pl.ds(k, 1), :], carry,
+            else:
+                def body(k, carry):
+                    out = acc_k(
+                        selt_ref[0, pl.ds(k, 1), :], gk_s[pl.ds(k, 1), :],
+                        gm_s[pl.ds(k, 1), :], ga_s[pl.ds(k, 1), :], None,
+                        carry + (None,),
+                    )
+                    return out[:3]
+                OHg, OHm, OHa = jax.lax.fori_loop(
+                    0, K, body, (zero, zero, zero), unroll=False
                 )
-            OHg, OHm, OHa, Wc = jax.lax.fori_loop(
-                0, K, body, (zero, zero, zero, zero), unroll=False
-            )
-        else:
-            def body(k, carry):
-                out = acc_k(
-                    selt_ref[0, pl.ds(k, 1), :], gk_s[pl.ds(k, 1), :],
-                    gm_s[pl.ds(k, 1), :], ga_s[pl.ds(k, 1), :], None,
-                    carry + (None,),
-                )
-                return out[:3]
-            OHg, OHm, OHa = jax.lax.fori_loop(
-                0, K, body, (zero, zero, zero), unroll=False
-            )
-            Wc = None
+                Wc = None
 
-        # gauss side: (q, C) = dot over R of (q, R) ray rows with (C, R) OH
-        # matrices — contraction dims (1, 1), no in-kernel transposes
-        dotR = lambda aq, OH: jax.lax.dot_general(
-            aq, OH, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        ones_row = rft[0:1, :] * 0.0 + 1.0                   # (1, R)
-        T0 = dotR(ones_row, OHa)                             # (1, C)
-        Tr = dotR(rft[0:3, :], OHm)                          # (3, C)
-        Trr = dotR(rft[3:12, :], OHg)                        # (9, C)
-        # feature combine IN-KERNEL as (1, C) plane-row ops (an XLA combine
-        # over the (nb, M_max, 16) ROW-major table lane-slices/stacks cost
-        # ~3.4 ms at the 10K benchmark — lane-dim shuffles):
-        #   g_mu_i = sum_j L_ij Tr_j + T0 * sum_j (L_ij + L_ji) mu_j
-        #   g_L_ij = Trr_ij + Tr_j mu_i + T0 * mu_i mu_j
-        L = [[gp[4 + 3 * i + j: 5 + 3 * i + j, :] for j in range(3)]
-             for i in range(3)]
-        mu = [gp[13 + i: 14 + i, :] for i in range(3)]
-        Trj = [Tr[j:j + 1, :] for j in range(3)]
-        g_mu = [
-            sum(L[i][j] * Trj[j] for j in range(3))
-            + T0 * sum((L[i][j] + L[j][i]) * mu[j] for j in range(3))
-            for i in range(3)
-        ]
-        g_L = [
-            Trr[3 * i + j: 3 * i + j + 1, :] + Trj[j] * mu[i]
-            + T0 * mu[i] * mu[j]
-            for i in range(3) for j in range(3)
-        ]
-        zrow = jnp.zeros_like(T0)
-        rows = g_mu + g_L + [zrow] * (FEAT - 12)
-        if n_attr:
-            # d_attr[ca, c] = sum_r W[c, r] * g_img[ca, r] — the attr rows
-            # of the gradient block (the match above already built W)
-            rows.append(jax.lax.dot_general(
-                gimg_ref[0], Wc, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ))                                               # (Ca, C)
-        else:
-            rows += [zrow] * (og_ref.shape[1] - FEAT)
-        contrib = jnp.concatenate(rows, axis=0)              # (featw, C)
-        off = csel_ref[b, c % n_c] * chunk
-        og_ref[0, :, pl.ds(off, chunk)] = (
-            og_ref[0, :, pl.ds(off, chunk)] + contrib
-        )
-
-        if want_rays:
-            # rays side: standard (n, C) @ (C, R) matmuls with the sym /
-            # A = Lambda^T mu rows built from the feature planes in-kernel
-            sym = jnp.concatenate(
-                [L[i][j] + L[j][i] for i in range(3) for j in range(3)],
-                axis=0,
-            )                                                # (9, C)
-            dotC = lambda f, OH: jax.lax.dot_general(
-                f, OH, (((1,), (0,)), ((), ())),
+            # gauss side: (q, C) = dot over R of (q, R) ray rows with (C, R) OH
+            # matrices — contraction dims (1, 1), no in-kernel transposes
+            dotR = lambda aq, OH: jax.lax.dot_general(
+                aq, OH, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            A = dotC(sym, OHg)                               # (9, R)
-            Bv = dotC(gp[0:3, :], OHm)                       # (3, R)
-            racc[0:3, :] = racc[0:3, :] + jnp.concatenate(
-                [
-                    sum(A[3 * i + j:3 * i + j + 1, :] * rft[j:j + 1, :]
-                        for j in range(3)) + Bv[i:i + 1, :]
-                    for i in range(3)
-                ],
-                axis=0,
+            ones_row = rft[0:1, :] * 0.0 + 1.0                   # (1, R)
+            T0 = dotR(ones_row, OHa)                             # (1, C)
+            Tr = dotR(rft[0:3, :], OHm)                          # (3, C)
+            Trr = dotR(rft[3:12, :], OHg)                        # (9, C)
+            # feature combine IN-KERNEL as (1, C) plane-row ops (an XLA combine
+            # over the (nb, M_max, 16) ROW-major table lane-slices/stacks cost
+            # ~3.4 ms at the 10K benchmark — lane-dim shuffles):
+            #   g_mu_i = sum_j L_ij Tr_j + T0 * sum_j (L_ij + L_ji) mu_j
+            #   g_L_ij = Trr_ij + Tr_j mu_i + T0 * mu_i mu_j
+            L = [[gp[4 + 3 * i + j: 5 + 3 * i + j, :] for j in range(3)]
+                 for i in range(3)]
+            mu = [gp[13 + i: 14 + i, :] for i in range(3)]
+            Trj = [Tr[j:j + 1, :] for j in range(3)]
+            g_mu = [
+                sum(L[i][j] * Trj[j] for j in range(3))
+                + T0 * sum((L[i][j] + L[j][i]) * mu[j] for j in range(3))
+                for i in range(3)
+            ]
+            g_L = [
+                Trr[3 * i + j: 3 * i + j + 1, :] + Trj[j] * mu[i]
+                + T0 * mu[i] * mu[j]
+                for i in range(3) for j in range(3)
+            ]
+            zrow = jnp.zeros_like(T0)
+            rows = g_mu + g_L + [zrow] * (FEAT - 12)
+            if n_attr:
+                # d_attr[ca, c] = sum_r W[c, r] * g_img[ca, r] — the attr rows
+                # of the gradient block (the match above already built W)
+                rows.append(jax.lax.dot_general(
+                    gimg_ref[0], Wc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ))                                               # (Ca, C)
+            else:
+                rows += [zrow] * (og_ref.shape[1] - FEAT)
+            contrib = jnp.concatenate(rows, axis=0)              # (featw, C)
+            off = csel_ref[b, c % n_c] * chunk
+            og_ref[0, :, pl.ds(off, chunk)] = (
+                og_ref[0, :, pl.ds(off, chunk)] + contrib
             )
+
+            if want_rays:
+                # rays side: standard (n, C) @ (C, R) matmuls with the sym /
+                # A = Lambda^T mu rows built from the feature planes in-kernel
+                sym = jnp.concatenate(
+                    [L[i][j] + L[j][i] for i in range(3) for j in range(3)],
+                    axis=0,
+                )                                                # (9, C)
+                dotC = lambda f, OH: jax.lax.dot_general(
+                    f, OH, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                A = dotC(sym, OHg)                               # (9, R)
+                Bv = dotC(gp[0:3, :], OHm)                       # (3, R)
+                racc[0:3, :] = racc[0:3, :] + jnp.concatenate(
+                    [
+                        sum(A[3 * i + j:3 * i + j + 1, :] * rft[j:j + 1, :]
+                            for j in range(3)) + Bv[i:i + 1, :]
+                        for i in range(3)
+                    ],
+                    axis=0,
+                )
 
     if want_rays:
         @pl.when(c == pl.num_programs(1) - 1)
@@ -878,7 +903,7 @@ def fine_bwd_compact_t_pallas(
     K: int, cand_chunk: int,
     dst, B: int, P_pad: int,
     agg_ow: float = 1.0, mode: str = "both", interpret: bool = False,
-    pos_c=None, n_attr: int = 0, g_img_t=None,
+    pos_c=None, n_attr: int = 0, g_img_t=None, hitmask=None,
 ):
     """Transposed unified backward over the compacted candidate space.
 
@@ -903,12 +928,21 @@ def fine_bwd_compact_t_pallas(
         contract as :func:`fine_bwd_compact_pallas` modulo the transposed
         rays output.
     """
-    from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
+    from voge_tpu.ops.pallas_fine2 import (
+        hit_visit_lists, prefix_visit_lists,
+    )
 
     nb, M_max, featw = table_c.shape
     _, Kp, R_pad = raw[0].shape
     n_c = M_max // cand_chunk
-    csel, counts = prefix_visit_lists(counts_c, M_max, cand_chunk)
+    if hitmask is not None:
+        # visit only chunks the forward marked as hit-producing (tuple:
+        # (hm (nb, n_c_sel) int32, select cand_chunk)) — every selected
+        # candidate's chunk is marked, so skipped chunks contribute zero
+        hm, sel_cc = hitmask
+        csel, counts = hit_visit_lists(hm, sel_cc, cand_chunk)
+    else:
+        csel, counts = prefix_visit_lists(counts_c, M_max, cand_chunk)
     fold = len(g_t) == 4
     want_rays = mode in ("both", "rays")
     assert featw == FEAT + int(n_attr), (table_c.shape, n_attr)

@@ -93,10 +93,11 @@ def _kernel_tc(
     ids_ref,    # (1, C, 1) int32 global flattened ORIGINAL candidate ids
     rf_ref,     # (1, FEAT, R) f32 ray feature planes (G sub-bins' rays)
     *refs,      # (1, Kp, R) outputs oi/ol/oa/od (+ow if agg_ow)
-                # (+oimg (1, Ca, R) if n_attr), then
-                # (Kp, R) scratch run_len/run_act/run_dsd/run_idx
+                # (+oimg (1, Ca, R) if n_attr) (+ohm (1, n_cp, 128) if
+                # hitmask), then (Kp, R) scratch run_len/.../run_idx
     thr_act: float, K: int, chunk: int, sub_bins: int,
     agg_ow=None, hit_eval: str = "vpu", n_attr: int = 0,
+    hitmask: bool = False,
 ):
     """Transposed layout: candidates on SUBLANES, rays on LANES.
 
@@ -117,7 +118,13 @@ def _kernel_tc(
     sublane-broadcast sweeps, fused here instead of a separate XLA pass
     over the HBM round-tripped selection.
     """
-    oimg_ref = img_acc = None
+    oimg_ref = img_acc = ohm_ref = None
+    if hitmask:
+        # the per-chunk hit bitmap is the LAST output; scratch count is 5
+        # with fused attrs (img_acc) and 4 otherwise
+        n_scr = 5 if n_attr else 4
+        ohm_ref = refs[-n_scr - 1]
+        refs = refs[:-n_scr - 1] + refs[-n_scr:]
     if n_attr:
         # fused attribute compositing rides the fused aggregation; the
         # grid's chunk axis is DOUBLED (select phase, then an attr phase
@@ -151,57 +158,10 @@ def _kernel_tc(
         run_act[:] = jnp.full((Kp, R), _INF, jnp.float32)
         run_dsd[:] = jnp.zeros((Kp, R), jnp.float32)
         run_idx[:] = jnp.full((Kp, R), -1, jnp.int32)
+        if ohm_ref is not None:
+            ohm_ref[0] = jnp.zeros_like(ohm_ref[0])
 
-    # Only occupied chunks are visited (scalar-prefetched visit list); steps
-    # past this bin's occupied count are repeats of the last occupied chunk
-    # (same block indices => no DMA) and skipped entirely.
-    @pl.when(c < cnt_ref[b])
-    def _():
-        # membership of ray lane j (sub-bin j // R_bin): bit j//R_bin of the
-        # candidate's bitfield (lane-dim reshapes are unsupported by Mosaic)
-        bits = jnp.broadcast_to(bits_ref[0], (C, R))
-        lane_bin = jax.lax.broadcasted_iota(jnp.int32, (C, R), 1) // R_bin
-        member = jax.lax.shift_right_logical(bits, lane_bin) & 1
-        if hit_eval == "vpu":
-            # 3- and 9-deep contractions: the MXU pads the contraction to
-            # 128 and precision HIGHEST multiplies that by 6 (bf16x6) —
-            # measured ~2/3 of this kernel's time at the 10K benchmark.
-            # Broadcast FMAs on the VPU compute the same sums in exact f32
-            # (no bf16 splitting at all) in 12 passes over (C, R).
-            msk = sum(
-                tab[:, d : d + 1] * rf[d : d + 1, :] for d in range(3)
-            )                                                    # (C, R)
-            ksk = sum(
-                tab[:, 4 + q : 5 + q] * rf[3 + q : 4 + q, :]
-                for q in range(9)
-            )                                                    # (C, R)
-        else:
-            prec = (jax.lax.Precision.HIGHEST if hit_eval == "mxu6"
-                    else jax.lax.Precision.DEFAULT)
-            msk = jax.lax.dot_general(
-                tab[:, 0:3], rf[0:3, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )                                                    # (C, R)
-            ksk = jax.lax.dot_general(
-                tab[:, 4:13], rf[3:12, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )                                                    # (C, R)
-        length = msk / ksk
-        # act = d^T Lambda d with d = mu - len * r: the compensated residual
-        # form of msm - msk^2/ksk — immune to the eps*msm cancellation that
-        # dominates the f32 error on outlier-msm kernels (bunny config; see
-        # tools/debug_bunny.py and ops/pallas_fine.py).  ~15 extra VPU FMAs
-        # per (C, R) chunk vs the 3-op expanded form.
-        d0 = tab[:, 13:14] - length * rf[0:1, :]
-        d1 = tab[:, 14:15] - length * rf[1:2, :]
-        d2 = tab[:, 15:16] - length * rf[2:3, :]
-        e0 = d0 * tab[:, 4:5] + d1 * tab[:, 7:8] + d2 * tab[:, 10:11]
-        e1 = d0 * tab[:, 5:6] + d1 * tab[:, 8:9] + d2 * tab[:, 11:12]
-        e2 = d0 * tab[:, 6:7] + d1 * tab[:, 9:10] + d2 * tab[:, 12:13]
-        act = e0 * d0 + e1 * d1 + e2 * d2
-        ok = (act < thr_act) & (member > 0)
-        lm = jnp.where(ok, length, _INF)
-
+    def _merge_chunk(lm, act, ksk):
         # global flattened ORIGINAL Gaussian ids come from the streamed ids
         # plane (supports candidate reordering/compaction upstream)
         gidx = jnp.broadcast_to(ids_ref[0], (C, R))
@@ -260,6 +220,81 @@ def _kernel_tc(
                 return cat_len
             jax.lax.fori_loop(0, K, body, cat_len, unroll=False)
 
+    # Only occupied chunks are visited (scalar-prefetched visit list); steps
+    # past this bin's occupied count are repeats of the last occupied chunk
+    # (same block indices => no DMA) and skipped entirely.
+    @pl.when(c < cnt_ref[b])
+    def _():
+        # membership of ray lane j (sub-bin j // R_bin): bit j//R_bin of the
+        # candidate's bitfield (lane-dim reshapes are unsupported by Mosaic)
+        bits = jnp.broadcast_to(bits_ref[0], (C, R))
+        lane_bin = jax.lax.broadcasted_iota(jnp.int32, (C, R), 1) // R_bin
+        member = jax.lax.shift_right_logical(bits, lane_bin) & 1
+        if hit_eval == "vpu":
+            # 3- and 9-deep contractions: the MXU pads the contraction to
+            # 128 and precision HIGHEST multiplies that by 6 (bf16x6) —
+            # measured ~2/3 of this kernel's time at the 10K benchmark.
+            # Broadcast FMAs on the VPU compute the same sums in exact f32
+            # (no bf16 splitting at all) in 12 passes over (C, R).
+            msk = sum(
+                tab[:, d : d + 1] * rf[d : d + 1, :] for d in range(3)
+            )                                                    # (C, R)
+            ksk = sum(
+                tab[:, 4 + q : 5 + q] * rf[3 + q : 4 + q, :]
+                for q in range(9)
+            )                                                    # (C, R)
+        else:
+            prec = (jax.lax.Precision.HIGHEST if hit_eval == "mxu6"
+                    else jax.lax.Precision.DEFAULT)
+            msk = jax.lax.dot_general(
+                tab[:, 0:3], rf[0:3, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )                                                    # (C, R)
+            ksk = jax.lax.dot_general(
+                tab[:, 4:13], rf[3:12, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )                                                    # (C, R)
+        length = msk / ksk
+        # act = d^T Lambda d with d = mu - len * r: the compensated residual
+        # form of msm - msk^2/ksk — immune to the eps*msm cancellation that
+        # dominates the f32 error on outlier-msm kernels (bunny config; see
+        # tools/debug_bunny.py and ops/pallas_fine.py).  ~15 extra VPU FMAs
+        # per (C, R) chunk vs the 3-op expanded form.
+        d0 = tab[:, 13:14] - length * rf[0:1, :]
+        d1 = tab[:, 14:15] - length * rf[1:2, :]
+        d2 = tab[:, 15:16] - length * rf[2:3, :]
+        e0 = d0 * tab[:, 4:5] + d1 * tab[:, 7:8] + d2 * tab[:, 10:11]
+        e1 = d0 * tab[:, 5:6] + d1 * tab[:, 8:9] + d2 * tab[:, 11:12]
+        e2 = d0 * tab[:, 6:7] + d1 * tab[:, 9:10] + d2 * tab[:, 12:13]
+        act = e0 * d0 + e1 * d1 + e2 * d2
+        ok = (act < thr_act) & (member > 0)
+        lm = jnp.where(ok, length, _INF)
+
+        # Dynamic extraction skip: a chunk whose candidates ALL fail the
+        # threshold/membership test cannot change the running selection
+        # (every lm is _INF; the merge below provably returns the running
+        # state unchanged — running rows come first and win ties).  The
+        # K extraction passes are ~80% of this step's compute, so skipping
+        # them on contribution-free chunks is a large win on workloads
+        # whose candidate stream is mostly misses (no-coarse fitting
+        # configs stream EVERY Gaussian past every supertile; spatial
+        # locality makes most (chunk, supertile) pairs all-miss).  The
+        # hit evaluation above still runs — it is ~6x cheaper.
+        any_hit = jnp.max(jnp.where(ok, 1.0, 0.0)) > 0.0
+
+        @pl.when(any_hit)
+        def _():
+            if ohm_ref is not None:
+                # record "this chunk produced at least one passing hit":
+                # every finally-selected candidate's chunk is marked, so
+                # downstream match loops (this kernel's attr phase, the
+                # transposed backward, the lazy attr kernels) can restrict
+                # their visits to marked chunks — exact by superset.
+                ohm_ref[0, pl.ds(csel_ref[b, c], 1), :] = jnp.ones(
+                    (1, ohm_ref.shape[2]), jnp.int32
+                )
+            _merge_chunk(lm, act, ksk)
+
     @pl.when(c == n_c - 1)
     def _():
         oi_ref[0] = run_idx[:]
@@ -307,9 +342,7 @@ def _kernel_tc(
         def _():
             img_acc[:] = jnp.zeros_like(img_acc)
 
-        @pl.when((c >= n_c) & (c - n_c < cnt_ref[b]))
-        def _():
-            ids_col = ids_ref[0]                         # (C, 1)
+        def _attr_chunk(ids_col):
             attr_t = gf_ref[0][:, FEAT:FEAT + n_attr]    # (C, Ca)
             if K <= _MAX_UNROLL_K:
                 Wc = jnp.zeros((C, R), jnp.float32)
@@ -331,6 +364,31 @@ def _kernel_tc(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
+
+        @pl.when((c >= n_c) & (c - n_c < cnt_ref[b]))
+        def _():
+            ids_col = ids_ref[0]                         # (C, 1)
+            # id-range gate: compacted candidate ids are ascending within
+            # the supertile (padding -1 rows trail), so a chunk whose
+            # [min, max] id range contains no selected id cannot
+            # contribute — skip the K match passes (3 cheap passes vs K
+            # over (C, R); pays off on multi-chunk supertiles where most
+            # chunks hold none of the K selected candidates).
+            sel_ids = run_idx[:]
+            mn_id = ids_col[0, 0]
+            mx_id = jnp.max(ids_col)
+            overlap = jnp.max(jnp.where(
+                (sel_ids >= mn_id) & (sel_ids <= mx_id), 1.0, 0.0)) > 0.0
+            if ohm_ref is not None:
+                # hit gate: a chunk that produced no select-phase hit holds
+                # no selected candidate (the bitmap this kernel just wrote)
+                overlap = overlap & (
+                    ohm_ref[0, pl.ds(csel_ref[b, c % n_c], 1), :][0, 0] > 0
+                )
+
+            @pl.when(overlap)
+            def _():
+                _attr_chunk(ids_col)
 
         @pl.when(c == 2 * n_c - 1)
         def _():
@@ -362,13 +420,18 @@ def fine_select_compact_pallas(
                             # attribute image (nb, n_attr, R_pad) is
                             # returned as a 6th output (requires agg_ow and
                             # a single-chunk candidate space)
+    return_hitmask: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Streaming top-K selection over a (possibly per-supertile-compacted)
     candidate table; returns ray-major (nb, R_pad, K) selections (plus
     fused aggregation weights when ``agg_ow`` is set, plus the transposed
     attribute image when ``n_attr``).  With ``return_raw``
     also returns the kernel-native (nb, Kp, R_pad) (len, act, dsd[, w])
-    buffers for the transposed fold backward."""
+    buffers for the transposed fold backward.  With ``return_hitmask``
+    additionally returns an (nb, n_c) int32 bitmap of chunks that produced
+    at least one passing hit — every finally-selected candidate's chunk is
+    marked, so backward/attribute match kernels can restrict their chunk
+    visits to marked chunks (``hit_visit_lists``)."""
     nb, _, R_pad = rays_t.shape
     C_total = table.shape[1]
     featw = FEAT + int(n_attr)
@@ -406,7 +469,7 @@ def fine_select_compact_pallas(
         _kernel_tc, thr_act=float(thr_act), K=int(K), chunk=int(cand_chunk),
         sub_bins=int(sub_bins),
         agg_ow=None if agg_ow is None else float(agg_ow),
-        hit_eval=hit_eval, n_attr=int(n_attr),
+        hit_eval=hit_eval, n_attr=int(n_attr), hitmask=bool(return_hitmask),
     )
     n_out = 4 if agg_ow is None else 5
     out_shapes = [jax.ShapeDtypeStruct((nb, Kp, R_pad), jnp.int32)] + [
@@ -423,6 +486,17 @@ def fine_select_compact_pallas(
         )
         out_specs.append(pl.BlockSpec(
             (1, n_attr, ray_chunk), lambda b, r, c, cs, ct: (b, 0, r),
+            memory_space=pltpu.VMEM,
+        ))
+    n_cp = max(8, n_c)
+    if return_hitmask:
+        # per-(supertile, chunk) hit bitmap — lane dim 128 because dynamic
+        # indexing is only available on sublanes; consumers read [..., 0]
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nb, n_cp, 128), jnp.int32)
+        )
+        out_specs.append(pl.BlockSpec(
+            (1, n_cp, 128), lambda b, r, c, cs, ct: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ))
     scratch_shapes = [
@@ -456,7 +530,9 @@ def fine_select_compact_pallas(
         ),
         interpret=interpret,
     )(csel, counts, bits, table, ids_c, rays_t)
-    img_t = None
+    img_t = hm = None
+    if return_hitmask:
+        out, hm = out[:-1], out[-1][:, :n_c, 0]    # (nb, n_c) int32
     if n_attr:
         out, img_t = out[:-1], out[-1]
     # back to ray-major (nb, R_pad, K) for downstream consumers
@@ -468,7 +544,11 @@ def fine_select_compact_pallas(
         # [, weight]), free aliases of the outputs above — consumed by the
         # transposed backward kernels (fine_bwd_compact_t_pallas /
         # fold_weights_pallas)
+        if return_hitmask:
+            return swapped, tuple(out), hm
         return swapped, tuple(out)
+    if return_hitmask:
+        return swapped, hm
     return swapped
 
 
@@ -649,6 +729,39 @@ def prefix_visit_lists(counts: jax.Array, M_max: int, cand_chunk: int):
     last = jnp.maximum(cnt_c - 1, 0)
     csel = jnp.minimum(iota, last[:, None]).astype(jnp.int32)
     return csel, cnt_c.astype(jnp.int32)
+
+
+def hit_visit_lists(hm: jax.Array, sel_chunk: int, cand_chunk: int):
+    """Visit lists restricted to the select hitmask's marked chunks.
+
+    ``hm`` (nb, n_c_sel) int32 is ``fine_select_compact_pallas``'s
+    ``return_hitmask`` output at select-chunk granularity; the consumer's
+    ``cand_chunk`` may be a different (multiple/divisor) width.  Every
+    finally-selected candidate lives in a marked chunk, so match-loop
+    kernels (transposed backward, attribute compositing) visiting only
+    these chunks compute identical results — unmarked chunks build
+    all-zero coefficient matrices.
+
+    :return: (csel (nb, n_c) int32 ascending marked chunk ids, padded by
+        repeating the last marked chunk; counts (nb,) int32)
+    """
+    nb, n_s = hm.shape
+    if cand_chunk == sel_chunk:
+        hit = hm > 0
+    elif cand_chunk > sel_chunk:
+        f = cand_chunk // sel_chunk
+        assert n_s % f == 0, (n_s, f)
+        hit = (hm.reshape(nb, n_s // f, f).max(axis=-1)) > 0
+    else:
+        f = sel_chunk // cand_chunk
+        hit = jnp.repeat(hm > 0, f, axis=1)
+    n_c = hit.shape[1]
+    counts = hit.sum(axis=-1).astype(jnp.int32)
+    iota = jnp.arange(n_c, dtype=jnp.int32)[None]
+    order = jnp.argsort(~hit, axis=1, stable=True).astype(jnp.int32)
+    last = jnp.max(jnp.where(hit, iota, 0), axis=1)
+    csel = jnp.where(iota < counts[:, None], order, last[:, None])
+    return csel, counts
 
 
 def fine_select_mask_pallas(
