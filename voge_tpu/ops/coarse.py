@@ -279,7 +279,18 @@ def emit_supertile_candidates(
     kdt = jnp.int32 if big < 2**31 - 1 else jnp.int64
 
     kv_kern = None
-    win_k = 3 if P <= 4096 else 2  # see ``win`` below
+    # see ``win`` below.  When the caller picked bins SMALLER than the
+    # reference heuristic (the big-K bin-8 geometry), the same absolute
+    # footprints span more supertiles: grow the window to cover at least
+    # the envelope the reference-heuristic geometry (win 2 at ref_b) would
+    # — r_cov = 1.5*ref_b, win*st - b >= 2*r_cov (round-5: occlusion at
+    # bin 8 with win 2 dropped 2.3M memberships through the capped global
+    # path; the envelope rule gives win 4 there, win 7 for the 672-wide
+    # texture config, overflow back to 0)
+    win_k = 3 if P <= 4096 else 2
+    ref_b = max(int(2 ** math.ceil(math.log2(max(H, W)) - 5)), 10)
+    if b < ref_b:
+        win_k = max(win_k, min(8, int(math.ceil((3 * ref_b + b) / st))))
     use_kernel = (
         jax.default_backend() == "tpu" if _force is None
         else _force == "kernel"
@@ -413,7 +424,14 @@ def emit_supertile_candidates(
 
     img_row = jnp.arange(nb, dtype=jnp.int32)[:, None] // nst  # (nb, 1)
     counts_c = jnp.minimum(counts_full, M_max)
-    overflow_c = counts_full - counts_c + g_over[img_row[:, 0]]
+    # g_over is a PER-IMAGE count (oversize Gaussians beyond the global
+    # cap): add it to the image's first supertile row only, so summing
+    # overflow_c counts each drop once (round-5 fix: it was added to every
+    # row, inflating the reported total by nst)
+    first_row = (jnp.arange(nb, dtype=jnp.int32) % nst) == 0
+    overflow_c = counts_full - counts_c + jnp.where(
+        first_row, g_over[img_row[:, 0]], 0
+    )
 
     iota_t = jnp.arange(M_max, dtype=jnp.int32)[None]         # (1, M_max)
     fpos = jnp.clip(starts[:-1, None] + iota_t, 0, tot - 1)

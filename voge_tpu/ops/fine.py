@@ -530,6 +530,8 @@ def _pick_m_max(
     component is deliberately not clamped — when it alone reaches P_pad/2
     the scene is small and the global path genuinely wins."""
     target = max(256, 8 * P_pad // max(bins_per_image, 1))
+    if os.environ.get("VOGE_M_MAX_MIN"):  # experiment hook (trace time)
+        target = max(target, int(os.environ["VOGE_M_MAX_MIN"]))
     if m_min > 0:
         viable = ((P_pad - 1) // 2) // cand_chunk * cand_chunk
         if target < viable:
@@ -1177,6 +1179,19 @@ def production_bin_geometry(
     heuristic.  Results are bin-geometry independent (no truncation; see
     the no-coarse regression test), so this is purely a schedule choice.
 
+    Big-K configs (n_assign >= 40) get SMALL 8-pixel bins instead: the
+    K-pass extraction/match loops cost ~ pixels x chunks-per-supertile x K,
+    and the reference-heuristic bins (16 at 400^2, 32 at 672-wide) leave
+    those configs 4-16 candidate chunks deep per supertile.  Measured
+    (tools/bin_sweep2.py, round 5): ExtractTexture 142 -> 21.8 ms,
+    ReasonOcclusion 56.9 -> 46.4 ms; the K=20 headline is ~1 chunk deep
+    already and measured flat across bins (tools/bin_sweep.py), so it
+    keeps the reference heuristic.  A user ``max_points_per_bin`` is a
+    capacity floor in units of the REFERENCE bin's area; when the chosen
+    bin differs it is scaled by the area ratio (same density cap), else a
+    1500-cap at 16-px bins would force a 16x oversized compacted table at
+    8-px bins.
+
     Caveat (ADVICE round-4): the coarse emission stage statically picks a
     2x2 supertile window for P > 4096 (vs 3x3 below), assuming dense
     scenes carry per-Gaussian footprints under ~one supertile.  A dense
@@ -1192,9 +1207,17 @@ def production_bin_geometry(
         bin_size is None
         and jax.default_backend() == "tpu"
         and _kern_k_ok(n_assign)
-        and (n_points <= 4096 or mppb == -1)
     ):
-        bin_size_cfg = max(bin_size_cfg, 16)
+        ref_bin = bin_size_cfg
+        if n_assign >= 40 and mppb != -1:
+            bin_size_cfg = 8
+        elif n_points <= 4096 or mppb == -1:
+            bin_size_cfg = max(bin_size_cfg, 16)
+        if (
+            bin_size_cfg != ref_bin
+            and max_points_per_bin is not None and max_points_per_bin > 0
+        ):
+            mppb = max(64, int(mppb * (bin_size_cfg / ref_bin) ** 2))
     return bin_size_cfg, mppb
 
 
@@ -1310,7 +1333,10 @@ def ray_tracing(
             overlap_mask,
         )
 
-        m_min = int(max_points_per_bin) if (
+        # mppb is the (possibly bin-area-rescaled) capacity floor from
+        # production_bin_geometry — NOT the raw user value, which is in
+        # reference-bin units
+        m_min = int(mppb) if (
             max_points_per_bin is not None and max_points_per_bin > 0
         ) else 0
         BH = (H - 1) // bin_size_cfg + 1
@@ -1428,7 +1454,10 @@ def ray_tracing(
     if mppb == -1:
         m_min = P
     else:
-        m_min = int(max_points_per_bin) if (
+        # mppb is the (possibly bin-area-rescaled) capacity floor from
+        # production_bin_geometry — NOT the raw user value, which is in
+        # reference-bin units
+        m_min = int(mppb) if (
             max_points_per_bin is not None and max_points_per_bin > 0
         ) else 0
     sel_k, aux = _rt_fine_kern(
