@@ -434,8 +434,17 @@ def emit_supertile_candidates(
     )
 
     iota_t = jnp.arange(M_max, dtype=jnp.int32)[None]         # (1, M_max)
-    fpos = jnp.clip(starts[:-1, None] + iota_t, 0, tot - 1)
-    rows = flat[fpos]                                         # (nb, M_max)
+    # per-supertile rows are CONTIGUOUS ranges of the sorted keys, so a
+    # vmapped dynamic_slice replaces the elementwise gather (XLA TPU row
+    # gathers run ~6 ns/element; the slice form measured 8x faster at
+    # M_max 3840 — round 5).  flat is padded by M_max sentinels so a
+    # start near ``tot`` never shifts (dynamic_slice clamps starts, which
+    # would misread valid rows).
+    flat_pad = jnp.concatenate(
+        [flat, jnp.full((M_max,), jnp.array(big, kdt))])
+    rows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(flat_pad, (s,), (M_max,))
+    )(starts[:-1])                                            # (nb, M_max)
     valid_t = iota_t < counts_c[:, None]
     pos_c = jnp.where(valid_t, ((rows // 16) % S).astype(jnp.int32), 0)
     bits_c = jnp.where(valid_t, (rows % 16).astype(jnp.int32), 0)

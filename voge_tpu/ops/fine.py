@@ -1283,23 +1283,39 @@ def ray_tracing(
     if mppb == -1:
         # No-coarse: every Gaussian is a candidate for every pixel (the
         # reference's all-points index tensor, RayTracing.py:22-26) — no
-        # culling, so results are independent of the bin geometry.  On TPU
-        # the all-ones mask goes over the STANDARD bin grid: a single
-        # whole-image bin makes R_pad = H*W, and the fused attribute
+        # TRUNCATION ever (m_min = P below keeps every capacity at P).  On
+        # TPU the candidate stream still rides the STANDARD bin grid: a
+        # single whole-image bin makes R_pad = H*W, and the fused attribute
         # kernels (pallas_attr) hold (R_pad, K)/(R_pad, Ca) blocks in VMEM
         # — 128x128 no-coarse would need ~300 MB.  Binned geometry keeps
-        # every kernel at its proven block shapes; the streamed mask is
-        # all-ones so no candidate is skipped.
+        # every kernel at its proven block shapes.  The streamed mask is
+        # the exact bbox-overlap CULLING mask (round 5; previously
+        # all-ones): a candidate outside a bin's thr-level ellipse bound
+        # cannot pass the in-kernel activation test for any of the bin's
+        # rays, so masked-off chunks are provably selection-free and the
+        # visit lists / extraction gates skip them — a mask, not a
+        # capacity list, so nothing can truncate (the -1 contract).
+        # Morton-sorting the candidates clusters each supertile's members
+        # into few chunks (same as the small-scene coarse path).
         if jax.default_backend() == "tpu" and _kern_k_ok(n_assign):
+            from voge_tpu.ops.coarse import overlap_mask
+
             BH = (H - 1) // bin_size_cfg + 1
             BW = (W - 1) // bin_size_cfg + 1
-            mask = jnp.ones((B, BH, BW, P), dtype=jnp.int8)
+            points, isigmas, ids, perm = _sort_bin_coherent(
+                R, T, focal, principal, points, isigmas, (H, W),
+                bin_size_cfg, base_ids,
+            )
+            mask = overlap_mask(
+                R, T, focal, principal, points, isigmas, (H, W), thr,
+                bin_size_cfg,
+            )
             eff_bin = (bin_size_cfg, bin_size_cfg)
         else:
             # CPU / large-K: dense XLA select over one whole-image bin
             mask = jnp.ones((B, 1, 1, P), dtype=jnp.int8)
             eff_bin = (H, W)
-        ids, perm = base_ids, None
+            ids, perm = base_ids, None
     elif jax.default_backend() != "tpu" or not _kern_k_ok(n_assign):
         # CPU/fallback with culling (also the TPU large-K dense dispatch):
         # the compacted-list gather path bounds
@@ -1335,7 +1351,17 @@ def ray_tracing(
 
         # mppb is the (possibly bin-area-rescaled) capacity floor from
         # production_bin_geometry — NOT the raw user value, which is in
-        # reference-bin units
+        # reference-bin units.  The floor applies only when the USER set
+        # max_points_per_bin: extending it to the reference heuristic
+        # (i.e., statically guaranteeing the reference's no-truncate
+        # envelope everywhere) was measured at +10 ms on the 10K headline
+        # — the coarse key extraction, the table gather and the kernels'
+        # static chunk axes all scale with M_max (DESIGN_NOTES round-5).
+        # Rare skew beyond the heuristic capacity (the 10K cuboid's
+        # densest supertile holds 1622 members vs 512) truncates
+        # deterministically and is SURFACED via Fragments.overflow_points
+        # (1110 memberships = 0.04%% of that scene's candidate visits);
+        # max_points_per_bin is the escape hatch when it matters.
         m_min = int(mppb) if (
             max_points_per_bin is not None and max_points_per_bin > 0
         ) else 0
@@ -1456,7 +1482,17 @@ def ray_tracing(
     else:
         # mppb is the (possibly bin-area-rescaled) capacity floor from
         # production_bin_geometry — NOT the raw user value, which is in
-        # reference-bin units
+        # reference-bin units.  The floor applies only when the USER set
+        # max_points_per_bin: extending it to the reference heuristic
+        # (i.e., statically guaranteeing the reference's no-truncate
+        # envelope everywhere) was measured at +10 ms on the 10K headline
+        # — the coarse key extraction, the table gather and the kernels'
+        # static chunk axes all scale with M_max (DESIGN_NOTES round-5).
+        # Rare skew beyond the heuristic capacity (the 10K cuboid's
+        # densest supertile holds 1622 members vs 512) truncates
+        # deterministically and is SURFACED via Fragments.overflow_points
+        # (1110 memberships = 0.04%% of that scene's candidate visits);
+        # max_points_per_bin is the escape hatch when it matters.
         m_min = int(mppb) if (
             max_points_per_bin is not None and max_points_per_bin > 0
         ) else 0

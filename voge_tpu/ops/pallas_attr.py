@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from voge_tpu.ops.pallas_fine import _MAX_UNROLL_K
 
+
 _PREC = jax.lax.Precision.HIGHEST
 
 

@@ -38,6 +38,7 @@ from voge_tpu.ops.pallas_attr import (
 )
 
 _INF = 1e10
+
 _INV_SQRT_PI = 0.5641895835477563
 
 

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from voge_tpu.ops.pallas_fine import FEAT, _MAX_UNROLL_K
 
 _INF = 1e10
+
 _RUNW = 128  # running-state lane width (>= K, lane-aligned)
 
 
@@ -141,7 +142,11 @@ def _kernel_tc(
     c = pl.program_id(2)
     n_c = pl.num_programs(2)
     if n_attr:
-        n_c = n_c // 2
+        # chunk axis is n_c select steps + (n_c - 1) attr re-visits: the
+        # LAST occupied chunk's attr contribution runs inside the flush
+        # step (it is the resident block there), so only cnt-1 chunks need
+        # re-visiting
+        n_c = (n_c + 1) // 2
     b = pl.program_id(0)
 
     rf = rf_ref[0]                      # (FEAT, R)
@@ -160,6 +165,10 @@ def _kernel_tc(
         run_idx[:] = jnp.full((Kp, R), -1, jnp.int32)
         if ohm_ref is not None:
             ohm_ref[0] = jnp.zeros_like(ohm_ref[0])
+        if img_acc is not None:
+            # must precede the flush: with a single-chunk axis the flush
+            # (and its fused attr accumulation) runs in this same step
+            img_acc[:] = jnp.zeros_like(img_acc)
 
     def _merge_chunk(lm, act, ksk):
         # global flattened ORIGINAL Gaussian ids come from the streamed ids
@@ -209,16 +218,41 @@ def _kernel_tc(
             run_dsd[:] = padrow(new_dsd, 0.0, jnp.float32)
             run_idx[:] = padrow(new_idx, -1, jnp.int32)
         else:
-            # large K: one compiled body, dynamic sublane stores.  Padding
-            # rows K..Kp keep their c==0 init (never written).
-            def body(k, cat_len):
+            # large K: one compiled OCT body — 8 slots extracted per trip
+            # and written with ONE dynamic (8, R) sublane store per plane
+            # (Mosaic requires dynamic sublane offsets provably 8-aligned,
+            # so the batch is 8, i*8).  Mosaic's per-iteration overhead
+            # (loop boundary + dynamic store pipeline stall) dominated the
+            # K=60/80 workloads (flat across chunk widths — round 5).
+            # Padding rows K..Kp keep their c==0 init (never written); a
+            # K % 8 tail runs as statically-unrolled single extractions.
+            U = 8
+            n_full = K // U
+
+            def qbody(i, cat_len):
+                rows = []
+                for _ in range(U):
+                    row, cat_len = _extract(cat_len)
+                    rows.append(row)
+                off = i * U
+                run_len[pl.ds(off, U), :] = jnp.concatenate(
+                    [r[0] for r in rows], axis=0)
+                run_act[pl.ds(off, U), :] = jnp.concatenate(
+                    [r[1] for r in rows], axis=0)
+                run_dsd[pl.ds(off, U), :] = jnp.concatenate(
+                    [r[2] for r in rows], axis=0)
+                run_idx[pl.ds(off, U), :] = jnp.concatenate(
+                    [r[3] for r in rows], axis=0)
+                return cat_len
+
+            cat_len = jax.lax.fori_loop(0, n_full, qbody, cat_len,
+                                        unroll=False)
+            for k in range(n_full * U, K):   # static tail, K % 4 slots
                 (mn, a, d, i), cat_len = _extract(cat_len)
                 run_len[pl.ds(k, 1), :] = mn
                 run_act[pl.ds(k, 1), :] = a
                 run_dsd[pl.ds(k, 1), :] = d
                 run_idx[pl.ds(k, 1), :] = i
-                return cat_len
-            jax.lax.fori_loop(0, K, body, cat_len, unroll=False)
 
     # Only occupied chunks are visited (scalar-prefetched visit list); steps
     # past this bin's occupied count are repeats of the last occupied chunk
@@ -295,6 +329,48 @@ def _kernel_tc(
                 )
             _merge_chunk(lm, act, ksk)
 
+    def _attr_chunk(ids_col):
+        attr_t = gf_ref[0][:, FEAT:FEAT + n_attr]    # (C, Ca)
+        if K <= _MAX_UNROLL_K:
+            Wc = jnp.zeros((C, R), jnp.float32)
+            for k in range(K):
+                oh = ids_col == run_idx[k:k + 1, :]
+                Wc = Wc + jnp.where(oh, ow_ref[0, k:k + 1, :], 0.0)
+        else:
+            def wc_body(k, Wc):
+                oh = ids_col == run_idx[pl.ds(k, 1), :]
+                return Wc + jnp.where(
+                    oh, ow_ref[0, pl.ds(k, 1), :], 0.0
+                )
+            Wc = jax.lax.fori_loop(
+                0, K, wc_body, jnp.zeros((C, R), jnp.float32),
+                unroll=False,
+            )
+        img_acc[:] = img_acc[:] + jax.lax.dot_general(
+            attr_t, Wc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def _attr_gated(chunk_slot):
+        """Attr contribution of the currently-resident chunk, skipped via
+        the id-range and fwd-hitmask gates (see the attr phase below);
+        ``chunk_slot`` is the visit-list column of the resident block."""
+        ids_col = ids_ref[0]                         # (C, 1)
+        sel_ids = run_idx[:]
+        mn_id = ids_col[0, 0]
+        mx_id = jnp.max(ids_col)
+        overlap = jnp.max(jnp.where(
+            (sel_ids >= mn_id) & (sel_ids <= mx_id), 1.0, 0.0)) > 0.0
+        if ohm_ref is not None:
+            overlap = overlap & (
+                ohm_ref[0, pl.ds(csel_ref[b, chunk_slot], 1), :][0, 0] > 0
+            )
+
+        @pl.when(overlap & (cnt_ref[b] > 0))
+        def _():
+            _attr_chunk(ids_col)
+
     @pl.when(c == n_c - 1)
     def _():
         oi_ref[0] = run_idx[:]
@@ -328,69 +404,29 @@ def _kernel_tc(
                     0, K, occ_body, jnp.zeros_like(l), unroll=False
                 )
             ow_ref[0] = jnp.exp(-float(agg_ow) * occ) * ea * 1.6487212707001282
+        if n_attr:
+            # the LAST occupied chunk is resident right here — run its
+            # fused attr contribution (``interpolate_attr`` math:
+            # img[ca, r] = sum_k w[k, r] * attr[sel_k(r), ca], per chunk
+            # as attr^T @ Wc with Wc[c, r] = sum_k [ids_c == sel_k] w_k —
+            # pallas_attr._match_weight) inside the flush, so the attr
+            # phase below only re-visits the OTHER cnt-1 chunks and the
+            # grid's chunk axis shrinks to 2*n_c - 1 (1-chunk supertiles,
+            # the common case at the headline config, never re-visit)
+            _attr_gated(n_c - 1)
 
     if n_attr:
-        # ---- attr phase (grid steps n_c .. 2*n_c-1): fused attribute
-        # compositing (``interpolate_attr``) against the FINAL selection:
-        # img[ca, r] = sum_k w[k, r] * attr[sel_k(r), ca], per occupied
-        # chunk as attr^T @ Wc with Wc[c, r] = sum_k [ids_c == sel_k] w_k
-        # — the per-candidate collapsed weight matrix
-        # (pallas_attr._match_weight).  Invalid slots carry w = 0
-        # (act = INF), so no gating is needed; padding candidates
-        # (id == -1) never match valid selections.
-        @pl.when(c == n_c)
+        # ---- attr phase (grid steps n_c .. 2*n_c-2): visits 0..cnt-2
+        # (the last occupied chunk ran at flush).  Gates as in
+        # ``_attr_gated``: id-range (compacted ids ascend per supertile;
+        # padding -1 rows trail) and the fwd hit bitmap — a chunk with no
+        # passing hit / no selected id in range contributes nothing, so
+        # the K match passes are skipped.
+        @pl.when((c >= n_c) & (c - n_c < cnt_ref[b] - 1))
         def _():
-            img_acc[:] = jnp.zeros_like(img_acc)
+            _attr_gated(c % n_c)
 
-        def _attr_chunk(ids_col):
-            attr_t = gf_ref[0][:, FEAT:FEAT + n_attr]    # (C, Ca)
-            if K <= _MAX_UNROLL_K:
-                Wc = jnp.zeros((C, R), jnp.float32)
-                for k in range(K):
-                    oh = ids_col == run_idx[k:k + 1, :]
-                    Wc = Wc + jnp.where(oh, ow_ref[0, k:k + 1, :], 0.0)
-            else:
-                def wc_body(k, Wc):
-                    oh = ids_col == run_idx[pl.ds(k, 1), :]
-                    return Wc + jnp.where(
-                        oh, ow_ref[0, pl.ds(k, 1), :], 0.0
-                    )
-                Wc = jax.lax.fori_loop(
-                    0, K, wc_body, jnp.zeros((C, R), jnp.float32),
-                    unroll=False,
-                )
-            img_acc[:] = img_acc[:] + jax.lax.dot_general(
-                attr_t, Wc, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-
-        @pl.when((c >= n_c) & (c - n_c < cnt_ref[b]))
-        def _():
-            ids_col = ids_ref[0]                         # (C, 1)
-            # id-range gate: compacted candidate ids are ascending within
-            # the supertile (padding -1 rows trail), so a chunk whose
-            # [min, max] id range contains no selected id cannot
-            # contribute — skip the K match passes (3 cheap passes vs K
-            # over (C, R); pays off on multi-chunk supertiles where most
-            # chunks hold none of the K selected candidates).
-            sel_ids = run_idx[:]
-            mn_id = ids_col[0, 0]
-            mx_id = jnp.max(ids_col)
-            overlap = jnp.max(jnp.where(
-                (sel_ids >= mn_id) & (sel_ids <= mx_id), 1.0, 0.0)) > 0.0
-            if ohm_ref is not None:
-                # hit gate: a chunk that produced no select-phase hit holds
-                # no selected candidate (the bitmap this kernel just wrote)
-                overlap = overlap & (
-                    ohm_ref[0, pl.ds(csel_ref[b, c % n_c], 1), :][0, 0] > 0
-                )
-
-            @pl.when(overlap)
-            def _():
-                _attr_chunk(ids_col)
-
-        @pl.when(c == 2 * n_c - 1)
+        @pl.when(c == 2 * n_c - 2)
         def _():
             oimg_ref[0] = img_acc[:]
 
@@ -509,7 +545,7 @@ def fine_select_compact_pallas(
         scratch_shapes.append(pltpu.VMEM((n_attr, ray_chunk), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nb, n_r, (2 * n_c) if n_attr else n_c),
+        grid=(nb, n_r, (2 * n_c - 1) if n_attr else n_c),
         in_specs=[
             pl.BlockSpec((1, cand_chunk, 1), bmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cand_chunk, featw), cmap, memory_space=pltpu.VMEM),
