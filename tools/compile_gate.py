@@ -30,8 +30,13 @@ import jax  # noqa: E402
 import bench  # noqa: E402
 
 # (name, builder -> (fn, args_fn, ...), build_budget_s, lower_s, compile_s)
+# The FIRST config in a cold process absorbs every shared host-side
+# compile (look_at chain, converter ops, the fused ctx build) — measured
+# ~70 s on the 1-core attachment host — so it gets a wider build budget;
+# the regression class this gate exists for (the round-4 313 s lowering
+# blowup, 600 s subprocess timeouts) still trips it.
 CONFIGS = [
-    ("1k", lambda: bench.build_fwdbwd(1000)[:2], 30, 20, 180),
+    ("1k", lambda: bench.build_fwdbwd(1000)[:2], 240, 20, 180),
     ("10k", lambda: bench.build_fwdbwd(10000)[:2], 30, 20, 180),
     ("b8", lambda: bench.build_fwdbwd_batched()[:2], 30, 20, 240),
     ("pointcloud", lambda: bench.build_fwd_pointcloud()[:2], 30, 20, 180),
@@ -44,6 +49,13 @@ CONFIGS = [
 def main():
     only = set(sys.argv[1:])
     failures = []
+    # First TPU contact pays the relay attachment handshake (measured
+    # anywhere from 4 to 210 s depending on the relay's state) — do it
+    # once here so it doesn't land in the first config's build budget.
+    t0 = time.time()
+    jax.block_until_ready(jax.device_put(jax.numpy.zeros(8)))
+    print(json.dumps({"attach_warmup_s": round(time.time() - t0, 1)}),
+          flush=True)
     for name, build, b_budget, l_budget, c_budget in CONFIGS:
         if only and name not in only:
             continue
