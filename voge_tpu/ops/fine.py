@@ -582,14 +582,17 @@ def _pick_cand_chunk_bwd(P: int) -> int:
     return 1024
 
 
-def _mask_path_select_kern(prep, thr_act, K, agg_ow=None, return_raw=False):
+def _mask_path_select_kern(prep, thr_act, K, agg_ow=None, return_raw=False,
+                           return_hitmask=False):
     """Selection in KERNEL layout (grouped supertiles on TPU): returns the
     4-tuple (sel_idx, sel_len, sel_act, sel_dsd), each (nst, R_kern, K) —
     plus the fused erf-compositing weights as a 5th element when ``agg_ow``
     is set (in-kernel on TPU, XLA math on the fallback).  With
     ``return_raw`` (TPU only) returns (sel, raw) where raw is the kernel's
     native transposed (nst, Kp, R_kern) (len, act, dsd, w) buffers for the
-    fold backward."""
+    fold backward.  With ``return_hitmask`` additionally returns the
+    per-(bin, chunk) hit bitmap (None on the XLA fallback) for
+    hit-restricted backward visit lists."""
     from voge_tpu.ops.pallas_fine2 import (
         fine_select_compact_pallas,
         prefix_visit_lists,
@@ -605,7 +608,7 @@ def _mask_path_select_kern(prep, thr_act, K, agg_ow=None, return_raw=False):
             p["rays_t"], p["table_c"], p["bits_c"], p["ids_c"], csel, counts,
             thr_act, K, sub_bins=G, ray_chunk=p["rc"],
             cand_chunk=p["cand_chunk"], per_bin_cand=True, agg_ow=agg_ow,
-            return_raw=return_raw,
+            return_raw=return_raw, return_hitmask=return_hitmask,
         )
     if p["use_pallas"]:
         from voge_tpu.ops.pallas_fine2 import fine_select_mask_pallas
@@ -614,6 +617,7 @@ def _mask_path_select_kern(prep, thr_act, K, agg_ow=None, return_raw=False):
             p["rf_k"], p["gauss_feat"], p["mask_k"], p["ids_p"], thr_act, K,
             bh_bw=p["bh_bw"], n_gauss=p["P"], ray_chunk=p["rc"],
             cand_chunk=p["cand_chunk"], agg_ow=agg_ow, return_raw=return_raw,
+            return_hitmask=return_hitmask,
         )
     sel = _xla_select_mask(
         p["rf_k"], p["gauss_feat"], p["mask_k"][:, 0, :], p["ids_p"],
@@ -623,9 +627,12 @@ def _mask_path_select_kern(prep, thr_act, K, agg_ow=None, return_raw=False):
         from voge_tpu.aggregation import weights_from_sel
 
         sel = sel + (weights_from_sel(sel[1], sel[2], sel[3], agg_ow),)
+    out = (sel,)
     if return_raw:
-        return sel, None
-    return sel
+        out = out + (None,)
+    if return_hitmask:
+        out = out + (None,)
+    return out if len(out) > 1 else sel
 
 
 def unbin_kern(x, B, BH, BW, H, W, bsh, bsw, grouped):
@@ -715,9 +722,18 @@ def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
     prep = _mask_path_prep(mus, isigmas, rays, mask, ids, bin_size, m_min,
                            K=K)
     want_raw = agg_ow is not None and prep["use_pallas"]
-    out = _mask_path_select_kern(prep, thr_act, K, agg_ow, return_raw=want_raw)
-    raw = None
-    if want_raw:
+    want_hm = bool(prep["use_pallas"])
+    out = _mask_path_select_kern(prep, thr_act, K, agg_ow,
+                                 return_raw=want_raw,
+                                 return_hitmask=want_hm)
+    raw = hm = None
+    if want_hm:
+        out, hm = out[:-1], out[-1]
+        if want_raw:
+            out, raw = out
+        elif len(out) == 1:
+            out = out[0]
+    elif want_raw:
         out, raw = out
     aux = (
         (prep["ids_c"], prep["pos_c"], prep["counts_c"], prep["overflow_c"])
@@ -725,13 +741,15 @@ def _rt_fine_kern_fwd(mus, isigmas, rays, mask, ids, thr_act, bin_size, K,
     )
     # Save the kernel-ready tensors: rebuilding the grouped ray features /
     # compacted candidate table costs ms of pure layout work at 256^2.
-    # mode is distinguished by arity (strings are not valid residual leaves)
+    # mode is distinguished by arity (strings are not valid residual
+    # leaves); both Pallas modes append the fwd hit bitmap so the backward
+    # can restrict its chunk visits to hit-producing chunks
     if prep.get("compact"):
         saved = (prep["rf_k"], prep["table_c"], prep["ids_c"],
-                 prep["pos_c"], prep["counts_c"])
+                 prep["pos_c"], prep["counts_c"], hm)
     elif prep["use_pallas"]:
         saved = (prep["rf_k"], prep["mask_k"], prep["ids_p"],
-                 prep["gauss_feat"])
+                 prep["gauss_feat"], hm)
     else:
         saved = None
     # fused-aggregation path: keep the selection primals for the fold bwd —
@@ -865,8 +883,8 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, agg_ow, res, g):
             rc = rays_feat.shape[1]
         else:
             rc = _pick_rc(R_pad)
-        if len(saved) == 5:
-            rays_feat, table_c, ids_c, pos_c, counts_c = saved
+        if len(saved) == 6:
+            rays_feat, table_c, ids_c, pos_c, counts_c, hm = saved
             M_max = table_c.shape[1]
             cc_opts = [c for c in (1024, 512, 256, 128) if M_max % c == 0]
             cc = max(cc_opts) if cc_opts else M_max
@@ -876,9 +894,10 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, agg_ow, res, g):
                 rays_feat, table_c, ids_c, pos_c, counts_c, *args,
                 K=K, B=B, P_pad=P_pad,
                 ray_chunk=_pick_rc_bwd(rc, K, cc), cand_chunk=cc,
+                hitmask=None if hm is None else (hm, _pick_cand_chunk(P)),
             )
         else:
-            rays_feat, mask_k, ids_p, gauss_feat = saved
+            rays_feat, mask_k, ids_p, gauss_feat, hm = saved
             if grouped:
                 BH2, BW2 = (BH + 1) // 2, (BW + 1) // 2
                 bh_bw = BH2 * BW2
@@ -888,6 +907,7 @@ def _rt_fine_kern_bwd(thr_act, bin_size, K, m_min, agg_ow, res, g):
             kw = dict(
                 thr_act=thr_act, K=K, bh_bw=bh_bw, n_gauss=P,
                 ray_chunk=_pick_rc_bwd(rc, K, cc_bwd), cand_chunk=cc_bwd,
+                hitmask=None if hm is None else (hm, _pick_cand_chunk(P)),
             )
             if gauss_feat.shape[2] <= _UNIFIED_BWD_MAX_PPAD:
                 gg, rb = fine_bwd_unified_pallas(

@@ -468,6 +468,7 @@ def fine_bwd_unified_pallas(
     rays_feat, gauss_feat, mask, ids, sel_b, gl_b, ga_b, gd_b,
     thr_act: float, K: int, bh_bw: int, n_gauss: int,
     ray_chunk: int, cand_chunk: int = 512, interpret: bool = False,
+    hitmask=None,
 ):
     """Both gradient outputs in one streaming pass (the coefficient/forms
     reconstruction — the dominant per-step cost — is shared):
@@ -481,11 +482,18 @@ def fine_bwd_unified_pallas(
     are skipped entirely via the scalar-prefetched visit list (the mask is
     consumed host-side by :func:`chunk_visit_lists`, not streamed).
     """
-    from voge_tpu.ops.pallas_fine2 import chunk_visit_lists
+    from voge_tpu.ops.pallas_fine2 import chunk_visit_lists, hit_visit_lists
 
     P_pad = gauss_feat.shape[2]
     n_c = P_pad // cand_chunk
-    csel, counts = chunk_visit_lists(mask, n_c, cand_chunk)
+    if hitmask is not None:
+        # restrict visits to the forward's hit-producing chunks (a hit
+        # requires membership, so hit chunks ⊆ mask-occupied chunks and
+        # the restriction is exact): (hm (nb, n_c_sel) int32, select cc)
+        hm, sel_cc = hitmask
+        csel, counts = hit_visit_lists(hm, sel_cc, cand_chunk)
+    else:
+        csel, counts = chunk_visit_lists(mask, n_c, cand_chunk)
     return _bwd_unified_call(
         rays_feat, gauss_feat, ids, csel, counts, sel_b, gl_b, ga_b, gd_b,
         K=K, ray_chunk=ray_chunk, cand_chunk=cand_chunk, per_bin_cand=False,
@@ -503,6 +511,7 @@ def fine_bwd_compact_pallas(
     K: int, B: int, P_pad: int,
     ray_chunk: int, cand_chunk: int, interpret: bool = False,
     dst=None, fold_in=None, agg_ow: float = 1.0, mode: str = "both",
+    hitmask=None,
 ):
     """Unified backward over the per-supertile COMPACTED candidate space.
 
@@ -518,10 +527,16 @@ def fine_bwd_compact_pallas(
 
     :return: (gauss_grads (B, FEAT, P_pad), ray_grads (nb, R_pad, FEAT))
     """
-    from voge_tpu.ops.pallas_fine2 import prefix_visit_lists
+    from voge_tpu.ops.pallas_fine2 import (
+        hit_visit_lists, prefix_visit_lists,
+    )
 
     nb, M_max, _ = table_c.shape
-    csel, counts = prefix_visit_lists(counts_c, M_max, cand_chunk)
+    if hitmask is not None:
+        hm, sel_cc = hitmask   # fwd hit bitmap: exact visit restriction
+        csel, counts = hit_visit_lists(hm, sel_cc, cand_chunk)
+    else:
+        csel, counts = prefix_visit_lists(counts_c, M_max, cand_chunk)
     planes_c = jnp.swapaxes(table_c, 1, 2)               # (nb, FEAT, M_max)
     ids_row = jnp.swapaxes(ids_c, 1, 2)                  # (nb, 1, M_max)
     # one fused pass: the coefficient reconstruction (the dominant cost) is

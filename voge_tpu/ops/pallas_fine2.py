@@ -814,6 +814,7 @@ def fine_select_mask_pallas(
     interpret: bool = False,
     agg_ow=None,
     return_raw: bool = False,
+    return_hitmask: bool = False,
 ) -> Tuple[jax.Array, ...]:
     nb, R_pad, _ = rays_feat.shape
     P_pad = gauss_feat.shape[2]
@@ -829,9 +830,16 @@ def fine_select_mask_pallas(
     table = jnp.swapaxes(gauss_feat, 1, 2)          # (B, P_pad, FEAT)
     ids_t = jnp.swapaxes(ids, 1, 2)                 # (B, P_pad, 1)
     rays_t = jnp.swapaxes(rays_feat, 1, 2)          # (nb, FEAT, R_pad)
-    return fine_select_compact_pallas(
+    out = fine_select_compact_pallas(
         rays_t, table, bits, ids_t, csel, counts, thr_act, K,
         sub_bins=G, ray_chunk=ray_chunk, cand_chunk=cand_chunk,
         per_bin_cand=False, bh_bw=bh_bw, interpret=interpret,
         agg_ow=agg_ow, return_raw=return_raw,
+        return_hitmask=return_hitmask,
     )
+    # IMPORTANT: the hitmask marks chunks whose candidates produced hits
+    # on the VISIT LIST above.  Visit-list slots are the occupied chunk
+    # ids themselves (the kernel writes at csel[b, c]), so the returned
+    # (nb, n_c) bitmap indexes GLOBAL chunk ids — directly consumable by
+    # hit_visit_lists.
+    return out
